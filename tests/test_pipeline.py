@@ -1,0 +1,142 @@
+"""End-to-end pipeline tests: full chain vs oracle, block-size invariance."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from webradio_tpu import ops
+from webradio_tpu.oracle import OracleReceiver
+from webradio_tpu.pipeline import (
+    ChainConfig,
+    FrontEndPipeline,
+    init_state,
+    make_receiver_params,
+    run_capture,
+    frontend_step,
+)
+from conftest import make_iq, snr_db
+
+# Small-but-real config: 1.024 Msps capture like BASELINE config 1,
+# scaled-down block so oracle runtime stays tolerable.
+CFG = ChainConfig(
+    sample_rate=1_024_000,
+    channel_rate=128_000,
+    audio_rate=32_000,
+    block_frames=8_192,
+    num_channels=1,
+)
+
+
+def _as_complex(iq):
+    return jnp.asarray(iq[:, 0] + 1j * iq[:, 1])
+
+
+@pytest.mark.parametrize("mode", ["AM", "FM", "USB", "LSB"])
+def test_chain_matches_oracle(rng, mode):
+    n = 2 * CFG.block_frames
+    iq = make_iq(rng, n, "fm", fs=CFG.sample_rate)
+
+    orc = OracleReceiver(
+        fs_hz=CFG.sample_rate,
+        if_hz=100_000,
+        mode=mode,
+        channel_rate_hz=CFG.channel_rate,
+        audio_rate_hz=CFG.audio_rate,
+    )
+    ref_parts = [
+        orc.process(iq[s : s + CFG.block_frames])
+        for s in range(0, n, CFG.block_frames)
+    ]
+    ref = np.concatenate(ref_parts)
+
+    params = make_receiver_params(CFG, 100_000, 80_000, 8_000, mode)
+    _, audio, _ = run_capture(CFG, params, _as_complex(iq))
+    got = np.asarray(audio)[0]
+    assert got.shape == ref.shape
+    assert snr_db(ref, got) > 90, f"{mode}: SNR too low"
+
+
+def test_block_size_invariance(rng):
+    """Same capture split into different block sizes -> identical audio.
+
+    Exercises every carry at once: FIR histories, NCO phase, FM prev
+    sample, spectrum tail (SURVEY §4 integration strategy).
+    """
+    n = 4 * CFG.block_frames
+    iq = _as_complex(make_iq(rng, n, "fm", fs=CFG.sample_rate))
+    params = make_receiver_params(CFG, 100_000, 80_000, 8_000, "FM")
+
+    _, audio_big, _ = run_capture(CFG, params, iq)
+
+    small = ChainConfig(**{**CFG.__dict__, "block_frames": CFG.block_frames // 4})
+    _, audio_small, _ = run_capture(small, params, iq)
+
+    np.testing.assert_allclose(
+        np.asarray(audio_big), np.asarray(audio_small), atol=3e-6
+    )
+
+
+def test_overlap_save_variant_matches_direct(rng):
+    n = 2 * CFG.block_frames
+    iq = _as_complex(make_iq(rng, n, "fm", fs=CFG.sample_rate))
+    params = make_receiver_params(CFG, 50_000, 80_000, 8_000, "FM")
+
+    _, a_direct, _ = run_capture(CFG, params, iq)
+    os_cfg = ChainConfig(**{**CFG.__dict__, "use_overlap_save": True})
+    _, a_os, _ = run_capture(os_cfg, params, iq)
+    assert snr_db(np.asarray(a_direct)[0], np.asarray(a_os)[0]) > 90
+
+
+def test_multichannel_batch(rng):
+    """N receivers with different IFs/modes in one batched step."""
+    cfg = ChainConfig(**{**CFG.__dict__, "num_channels": 4})
+    n = 2 * cfg.block_frames
+    iq = make_iq(rng, n, "fm", fs=cfg.sample_rate)
+    params = make_receiver_params(
+        cfg,
+        if_hz=[100_000, 0, -50_000, 100_000],
+        if_bandwidth_hz=[80_000] * 4,
+        af_bandwidth_hz=[8_000] * 4,
+        mode=["FM", "AM", "USB", "FM"],
+    )
+    _, audio, _ = run_capture(cfg, params, _as_complex(iq))
+    audio = np.asarray(audio)
+    assert audio.shape[0] == 4
+
+    # channel 0 and 3 are identical configs -> identical audio
+    np.testing.assert_allclose(audio[0], audio[3], atol=1e-7)
+
+    # channel 0 matches a single-channel run
+    p1 = make_receiver_params(CFG, 100_000, 80_000, 8_000, "FM")
+    _, a1, _ = run_capture(CFG, p1, _as_complex(iq))
+    np.testing.assert_allclose(audio[0], np.asarray(a1)[0], atol=1e-6)
+
+
+def test_spectrum_output_matches_oracle(rng):
+    from webradio_tpu import oracle
+
+    n = CFG.block_frames
+    iq = make_iq(rng, n, "tone", fs=CFG.sample_rate)
+    fill = np.zeros((512, 2), np.float32)
+    _, _, latest = oracle.spectrum_process(iq, fill, 0, None)
+    ref_db = oracle.spectrum_get(latest)
+
+    params = make_receiver_params(CFG, 0, 80_000, 8_000, "AM")
+    state = init_state(CFG)
+    _, _, spectra = frontend_step(CFG, params, state, _as_complex(iq))
+    got_db = np.asarray(ops.spectrum_db(spectra[-1]))
+    finite = np.isfinite(ref_db)
+    assert snr_db(ref_db[finite], got_db[finite]) > 90
+
+
+def test_live_param_update_no_recompile(rng):
+    """Changing IF/mode/passband between blocks must not retrace."""
+    import jax
+
+    iq = _as_complex(make_iq(rng, CFG.block_frames, "fm", fs=CFG.sample_rate))
+    pipe = FrontEndPipeline(CFG, make_receiver_params(CFG, 0, 80_000, 8_000, "AM"))
+    pipe.process(iq)
+    compiles_before = frontend_step._cache_size()
+    pipe.update_params(make_receiver_params(CFG, 100_000, 40_000, 6_000, "FM"))
+    pipe.process(iq)
+    assert frontend_step._cache_size() == compiles_before

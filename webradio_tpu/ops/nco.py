@@ -1,0 +1,85 @@
+"""Numerically-controlled oscillator (complex mixer), block-vectorized.
+
+The reference NCO is a 31-bit integer phase accumulator whose top 16 bits
+index a 2^16-entry sine table; each IQ sample is multiplied by the conjugate
+of the local oscillator (src/dsp/downconverter.cxx:35-52,91-114). Integer
+phase is the *right* TPU design too: it is exact, wrap-free over unbounded
+stream durations, and the phase of sample ``n`` has the closed form
+``(phase0 + n * step) mod 2^31`` — so the state carry is one uint32 and
+time-sharding a stream needs no sequential dependency at all (each shard
+computes its own phases from the block's start phase; SURVEY §5).
+
+Vectorization notes:
+
+* ``(phase0 + n * step) mod 2^31`` is computed in uint32 with natural
+  wrap-around: since 2^31 divides 2^32, ``(x mod 2^32) mod 2^31 ==
+  x mod 2^31``.
+* The table lookup becomes direct evaluation: the reference table holds
+  ``sinf(idx * 2pi / 2^16)`` (downconverter.cxx:50-51), so computing
+  ``sin`` at the *quantized* angle reproduces table semantics to float32
+  rounding — no 256 KiB gather on the VPU's critical path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PHASE_BITS = 31  # src/dsp/downconverter.cxx:35
+LOOKUP_BITS = 16  # src/dsp/downconverter.cxx:36
+PHASE_MASK = (1 << PHASE_BITS) - 1
+LOOKUP_MASK = (1 << LOOKUP_BITS) - 1
+LOOKUP_SHIFT = PHASE_BITS - LOOKUP_BITS
+_ANGLE_SCALE = np.float32(2.0 * np.pi / (1 << LOOKUP_BITS))
+
+
+def nco_phase_step(if_hz: int, fs_hz: int) -> int:
+    """Phase-accumulator step for a given IF, per downconverter.cxx:80.
+
+    ``int64`` division truncating toward zero, returned as the uint32 bit
+    pattern of the (possibly negative) step.
+    """
+    if if_hz >= 0:
+        step = (int(if_hz) * (1 << PHASE_BITS)) // int(fs_hz)
+    else:
+        step = -((-int(if_hz) * (1 << PHASE_BITS)) // int(fs_hz))
+    return step & 0xFFFFFFFF
+
+
+@jax.jit
+def nco_mix(x: jax.Array, phase0: jax.Array, phase_step: jax.Array) -> jax.Array:
+    """Mix ``x`` with the conjugate LO: ``x[n] * exp(-j*theta_n)``.
+
+    Args:
+      x: ``[C, N]`` complex64 IQ (``i + jq``).
+      phase0: ``[C]`` uint32 phase accumulator at the first sample.
+      phase_step: ``[C]`` uint32 per-sample phase increment
+        (:func:`nco_phase_step`).
+
+    Returns ``[C, N]`` complex64. ``theta_n`` is quantized to the top 16 bits
+    of the 31-bit accumulator exactly as the reference's table index
+    (downconverter.cxx:99-103); the mixer computes
+    ``I' = i*cos + q*sin, Q' = q*cos - i*sin`` (downconverter.cxx:105-110).
+    """
+    n = jnp.arange(x.shape[-1], dtype=jnp.uint32)
+    phases = (phase0[:, None] + n[None, :] * phase_step[:, None]) & jnp.uint32(
+        PHASE_MASK
+    )
+    sinidx = (phases >> LOOKUP_SHIFT).astype(jnp.float32)
+    cosidx = ((phases >> LOOKUP_SHIFT) + jnp.uint32((1 << LOOKUP_BITS) // 4)) & (
+        jnp.uint32(LOOKUP_MASK)
+    )
+    s = jnp.sin(sinidx * _ANGLE_SCALE)
+    c = jnp.sin(cosidx.astype(jnp.float32) * _ANGLE_SCALE)
+    lo_conj = jax.lax.complex(c, -s)
+    return x * lo_conj
+
+
+def nco_advance(phase0: jax.Array, phase_step: jax.Array, n: int) -> jax.Array:
+    """Closed-form phase after ``n`` samples: ``(phase0 + n*step) mod 2^31``.
+
+    This is the entire NCO state carry between blocks (and across time
+    shards — no halo needed for the mixer).
+    """
+    return (phase0 + jnp.uint32(n & 0xFFFFFFFF) * phase_step) & jnp.uint32(PHASE_MASK)

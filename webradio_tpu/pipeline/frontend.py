@@ -1,0 +1,103 @@
+"""The fused front-end step: spectrum + all receiver channels in one jit.
+
+Replaces the reference's depth-first walk of the block graph per 42.7 ms
+block (src/radio.cxx:56-59 -> dspblock.cxx:206-209) with a single traced
+program XLA can fuse end-to-end: NCO mix feeds the channel FIR without a
+round-trip to HBM, all channels advance as one ``[C, N]`` batch, and the
+spectrum FFTs batch across the block.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import ops
+from .state import ChainConfig, FrontEndParams, FrontEndState
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def frontend_step(
+    cfg: ChainConfig,
+    params: FrontEndParams,
+    state: FrontEndState,
+    iq: jax.Array,
+) -> tuple[FrontEndState, jax.Array, jax.Array]:
+    """Process one IQ block through spectrum + every receiver.
+
+    Args:
+      cfg: static chain configuration (shapes, rates).
+      params: control-plane parameters (may change every call, no recompile).
+      state: carried DSP state (donated — its buffers are reused in place).
+      iq: ``[block_frames]`` complex64 wideband IQ at ``cfg.sample_rate``.
+
+    Returns:
+      ``(new_state, audio, spectra)``: audio is ``[C, audio_frames]``
+      float32 at ``cfg.audio_rate``; spectra is
+      ``[block_frames // fft_size, fft_size]`` complex64 raw FFT rows
+      (row -1 = the reference's "latest" frame, spectrumsink.cxx:107-117).
+    """
+    rxp, rxs = params.rx, state.rx
+
+    spectra, spec_tail, spec_offset = ops.spectrum_accumulate(
+        iq, state.spec_tail, state.spec_offset, cfg.fft_size
+    )
+
+    mixed = ops.nco_mix(iq[None, :], rxs.nco_phase, rxp.phase_step)
+    nco_phase = ops.nco_advance(rxs.nco_phase, rxp.phase_step, cfg.block_frames)
+
+    fir = ops.overlap_save_decimate if cfg.use_overlap_save else ops.fir_decimate
+    chan, chan_hist = fir(mixed, rxp.chan_coeff, cfg.chan_decim, rxs.chan_hist)
+
+    audio_if, demod_prev = ops.demodulate(chan, rxp.mode, rxs.demod_prev)
+
+    audio, audio_hist = fir(
+        audio_if, rxp.audio_coeff, cfg.audio_decim, rxs.audio_hist
+    )
+
+    new_state = FrontEndState(
+        spec_tail=spec_tail,
+        spec_offset=spec_offset,
+        rx=type(rxs)(
+            nco_phase=nco_phase,
+            chan_hist=chan_hist,
+            demod_prev=demod_prev,
+            audio_hist=audio_hist,
+        ),
+    )
+    return new_state, audio, spectra
+
+
+class FrontEndPipeline:
+    """Stateful convenience wrapper around :func:`frontend_step`.
+
+    Owns the state pytree and current parameters; the web layer mutates
+    parameters via :meth:`update_params` (picked up at the next block — the
+    <=43 ms control latency of the reference, without its data races).
+    """
+
+    def __init__(self, cfg: ChainConfig, params: FrontEndParams):
+        from .state import init_state
+
+        self.cfg = cfg
+        self.params = params
+        self.state = init_state(cfg)
+
+    def update_params(self, params: FrontEndParams) -> None:
+        self.params = params
+
+    def process(self, iq: jax.Array):
+        """One block in, (audio, spectra) out. Not thread-safe by design:
+        call from the single pipeline thread (the reference's model,
+        radio.cxx:56-59)."""
+        self.state, audio, spectra = frontend_step(
+            self.cfg, self.params, self.state, iq
+        )
+        return audio, spectra
+
+    def reset(self) -> None:
+        from .state import init_state
+
+        self.state = init_state(self.cfg)

@@ -1,0 +1,164 @@
+"""Parameter and state pytrees for the front-end block-program.
+
+Control-plane values (tuning, passbands, modes) are *parameters*: plain
+arrays recomputed host-side on REST writes and passed into the next block's
+step — the race-free replacement for the reference's unsynchronized live
+setters (SURVEY §3.5). Cross-block DSP state is the exact set of carries the
+reference keeps (SURVEY §5): FIR histories, NCO phase, FM previous sample,
+spectrum fill tail.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.firdesign import FIR_LENGTH, design_lowpass_fir
+from ..ops.nco import nco_phase_step
+from ..ops.demod import MODES
+from ..ops.spectrum import DEFAULT_FFT_SIZE
+
+
+@dataclasses.dataclass(frozen=True)
+class ChainConfig:
+    """Static (compile-time) shape of one front-end's chain.
+
+    Defaults mirror the reference topology: 2.4 Msps front-end, 240 ksps
+    channel rate, 48 ksps audio (src/radio.cxx:78-82, src/main.cxx:74-75).
+    Rates must be integer-related (dspblock.cxx:126-129).
+    """
+
+    sample_rate: int = 2_400_000
+    channel_rate: int = 240_000
+    audio_rate: int = 48_000
+    block_frames: int = 102_400  # IQ frames per step (main.cxx:75 / 2 ch)
+    num_channels: int = 1
+    fir_length: int = FIR_LENGTH
+    fft_size: int = DEFAULT_FFT_SIZE
+    use_overlap_save: bool = False
+
+    def __post_init__(self):
+        if self.sample_rate % self.channel_rate:
+            raise ValueError("sample_rate must be a multiple of channel_rate")
+        if self.channel_rate % self.audio_rate:
+            raise ValueError("channel_rate must be a multiple of audio_rate")
+        if self.block_frames % self.fft_size:
+            raise ValueError("block_frames must be a multiple of fft_size")
+        if self.block_frames % self.chan_decim:
+            raise ValueError("block_frames must be a multiple of decimation")
+
+    @property
+    def chan_decim(self) -> int:
+        return self.sample_rate // self.channel_rate
+
+    @property
+    def audio_decim(self) -> int:
+        return self.channel_rate // self.audio_rate
+
+    @property
+    def audio_frames(self) -> int:
+        return self.block_frames // self.chan_decim // self.audio_decim
+
+    @property
+    def block_seconds(self) -> float:
+        return self.block_frames / self.sample_rate
+
+
+class ReceiverParams(NamedTuple):
+    """Per-channel control parameters, shape ``[C, ...]``."""
+
+    phase_step: jnp.ndarray  # [C] uint32 — NCO step from IF frequency
+    chan_coeff: jnp.ndarray  # [C, K] float32 — channel FIR
+    audio_coeff: jnp.ndarray  # [C, K] float32 — audio FIR
+    mode: jnp.ndarray  # [C] int32 — demodulator law
+
+
+class ReceiverState(NamedTuple):
+    """Per-channel cross-block carries (SURVEY §5)."""
+
+    nco_phase: jnp.ndarray  # [C] uint32
+    chan_hist: jnp.ndarray  # [C, K-1] complex64
+    demod_prev: jnp.ndarray  # [C] complex64
+    audio_hist: jnp.ndarray  # [C, K-1] float32
+
+
+class FrontEndParams(NamedTuple):
+    rx: ReceiverParams
+
+
+class FrontEndState(NamedTuple):
+    spec_tail: jnp.ndarray  # [F] complex64
+    spec_offset: jnp.ndarray  # uint32 scalar
+    rx: ReceiverState
+
+
+def make_receiver_params(
+    cfg: ChainConfig,
+    if_hz,
+    if_bandwidth_hz,
+    af_bandwidth_hz,
+    mode,
+) -> FrontEndParams:
+    """Build the parameter pytree from per-receiver control values.
+
+    Each argument is a scalar or a length-``num_channels`` sequence. FIR
+    design runs host-side (NumPy); defaults match the reference receiver:
+    80 kHz channel passband, 8 kHz audio passband, AM (src/radio.cxx:78-82).
+    """
+    c = cfg.num_channels
+
+    def expand(v):
+        return list(v) if hasattr(v, "__len__") and not isinstance(v, str) else [v] * c
+
+    ifs = expand(if_hz)
+    ifbws = expand(if_bandwidth_hz)
+    afbws = expand(af_bandwidth_hz)
+    modes = expand(mode)
+    if not (len(ifs) == len(ifbws) == len(afbws) == len(modes) == c):
+        raise ValueError("parameter lists must match num_channels")
+
+    steps = np.array(
+        [nco_phase_step(f, cfg.sample_rate) for f in ifs], dtype=np.uint32
+    )
+    chan = np.stack(
+        [
+            design_lowpass_fir(bw, cfg.sample_rate, cfg.fir_length)
+            for bw in ifbws
+        ]
+    )
+    audio = np.stack(
+        [
+            design_lowpass_fir(bw, cfg.channel_rate, cfg.fir_length)
+            for bw in afbws
+        ]
+    )
+    mode_idx = np.array(
+        [MODES.index(m) if isinstance(m, str) else int(m) for m in modes],
+        dtype=np.int32,
+    )
+    return FrontEndParams(
+        rx=ReceiverParams(
+            phase_step=jnp.asarray(steps),
+            chan_coeff=jnp.asarray(chan),
+            audio_coeff=jnp.asarray(audio),
+            mode=jnp.asarray(mode_idx),
+        )
+    )
+
+
+def init_state(cfg: ChainConfig) -> FrontEndState:
+    """Fresh stream state: zero histories, zero phase (dspblock start)."""
+    c, k, f = cfg.num_channels, cfg.fir_length, cfg.fft_size
+    return FrontEndState(
+        spec_tail=jnp.zeros(f, jnp.complex64),
+        spec_offset=jnp.uint32(0),
+        rx=ReceiverState(
+            nco_phase=jnp.zeros(c, jnp.uint32),
+            chan_hist=jnp.zeros((c, k - 1), jnp.complex64),
+            demod_prev=jnp.zeros(c, jnp.complex64),
+            audio_hist=jnp.zeros((c, k - 1), jnp.float32),
+        ),
+    )

@@ -1,0 +1,64 @@
+"""Offline capture runner: ``lax.scan`` over time blocks.
+
+For recorded captures the per-block host loop disappears entirely: the
+capture is reshaped to ``[num_blocks, block_frames]`` and scanned with the
+same step function the live server uses, so offline and live paths share one
+compiled program and the state-carry semantics are provably identical
+(block-size invariance tests exercise exactly this).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .frontend import frontend_step
+from .state import ChainConfig, FrontEndParams, FrontEndState, init_state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _scan_capture(
+    cfg: ChainConfig,
+    params: FrontEndParams,
+    state: FrontEndState,
+    blocks: jax.Array,
+):
+    def body(carry, iq):
+        new_state, audio, spectra = frontend_step(cfg, params, carry, iq)
+        return new_state, (audio, spectra[-1])
+
+    final, (audio, latest_spectra) = jax.lax.scan(body, state, blocks)
+    return final, audio, latest_spectra
+
+
+def run_capture(
+    cfg: ChainConfig,
+    params: FrontEndParams,
+    iq: jax.Array,
+    state: FrontEndState | None = None,
+):
+    """Demodulate a whole recorded capture.
+
+    Args:
+      iq: ``[total_frames]`` complex64; truncated to a whole number of
+        blocks of ``cfg.block_frames``.
+
+    Returns:
+      ``(final_state, audio, latest_spectra)`` — audio ``[C, total_audio]``
+      float32 (blocks concatenated in time), and per-block latest spectrum
+      rows ``[num_blocks, fft_size]`` complex64.
+    """
+    n_blocks = iq.shape[-1] // cfg.block_frames
+    if n_blocks == 0:
+        raise ValueError("capture shorter than one block")
+    blocks = iq[: n_blocks * cfg.block_frames].reshape(
+        n_blocks, cfg.block_frames
+    )
+    if state is None:
+        state = init_state(cfg)
+    final, audio, latest = _scan_capture(cfg, params, state, blocks)
+    # [num_blocks, C, audio_frames] -> [C, total_audio]
+    audio = jnp.moveaxis(audio, 0, 1).reshape(cfg.num_channels, -1)
+    return final, audio, latest
