@@ -27,8 +27,9 @@ CFG = ChainConfig(
 )
 
 
-def _as_complex(iq):
-    return jnp.asarray(iq[:, 0] + 1j * iq[:, 1])
+def _as_planes(iq):
+    """[N, 2] -> [2, N] float32 planes."""
+    return jnp.asarray(np.ascontiguousarray(iq.T))
 
 
 @pytest.mark.parametrize("mode", ["AM", "FM", "USB", "LSB"])
@@ -50,7 +51,7 @@ def test_chain_matches_oracle(rng, mode):
     ref = np.concatenate(ref_parts)
 
     params = make_receiver_params(CFG, 100_000, 80_000, 8_000, mode)
-    _, audio, _ = run_capture(CFG, params, _as_complex(iq))
+    _, audio, _ = run_capture(CFG, params, _as_planes(iq))
     got = np.asarray(audio)[0]
     assert got.shape == ref.shape
     assert snr_db(ref, got) > 90, f"{mode}: SNR too low"
@@ -60,10 +61,10 @@ def test_block_size_invariance(rng):
     """Same capture split into different block sizes -> identical audio.
 
     Exercises every carry at once: FIR histories, NCO phase, FM prev
-    sample, spectrum tail (SURVEY §4 integration strategy).
+    sample (SURVEY §4 integration strategy).
     """
     n = 4 * CFG.block_frames
-    iq = _as_complex(make_iq(rng, n, "fm", fs=CFG.sample_rate))
+    iq = _as_planes(make_iq(rng, n, "fm", fs=CFG.sample_rate))
     params = make_receiver_params(CFG, 100_000, 80_000, 8_000, "FM")
 
     _, audio_big, _ = run_capture(CFG, params, iq)
@@ -78,7 +79,7 @@ def test_block_size_invariance(rng):
 
 def test_overlap_save_variant_matches_direct(rng):
     n = 2 * CFG.block_frames
-    iq = _as_complex(make_iq(rng, n, "fm", fs=CFG.sample_rate))
+    iq = _as_planes(make_iq(rng, n, "fm", fs=CFG.sample_rate))
     params = make_receiver_params(CFG, 50_000, 80_000, 8_000, "FM")
 
     _, a_direct, _ = run_capture(CFG, params, iq)
@@ -99,7 +100,7 @@ def test_multichannel_batch(rng):
         af_bandwidth_hz=[8_000] * 4,
         mode=["FM", "AM", "USB", "FM"],
     )
-    _, audio, _ = run_capture(cfg, params, _as_complex(iq))
+    _, audio, _ = run_capture(cfg, params, _as_planes(iq))
     audio = np.asarray(audio)
     assert audio.shape[0] == 4
 
@@ -108,7 +109,7 @@ def test_multichannel_batch(rng):
 
     # channel 0 matches a single-channel run
     p1 = make_receiver_params(CFG, 100_000, 80_000, 8_000, "FM")
-    _, a1, _ = run_capture(CFG, p1, _as_complex(iq))
+    _, a1, _ = run_capture(CFG, p1, _as_planes(iq))
     np.testing.assert_allclose(audio[0], np.asarray(a1)[0], atol=1e-6)
 
 
@@ -123,20 +124,30 @@ def test_spectrum_output_matches_oracle(rng):
 
     params = make_receiver_params(CFG, 0, 80_000, 8_000, "AM")
     state = init_state(CFG)
-    _, _, spectra = frontend_step(CFG, params, state, _as_complex(iq))
-    got_db = np.asarray(ops.spectrum_db(spectra[-1]))
+    _, _, spectra = frontend_step(CFG, params, state, _as_planes(iq))
+    got_db = np.asarray(ops.spectrum_db(spectra[:, -1, :]))
     finite = np.isfinite(ref_db)
     assert snr_db(ref_db[finite], got_db[finite]) > 90
 
 
 def test_live_param_update_no_recompile(rng):
     """Changing IF/mode/passband between blocks must not retrace."""
-    import jax
-
-    iq = _as_complex(make_iq(rng, CFG.block_frames, "fm", fs=CFG.sample_rate))
+    iq = _as_planes(make_iq(rng, CFG.block_frames, "fm", fs=CFG.sample_rate))
     pipe = FrontEndPipeline(CFG, make_receiver_params(CFG, 0, 80_000, 8_000, "AM"))
     pipe.process(iq)
     compiles_before = frontend_step._cache_size()
     pipe.update_params(make_receiver_params(CFG, 100_000, 40_000, 6_000, "FM"))
     pipe.process(iq)
     assert frontend_step._cache_size() == compiles_before
+
+
+def test_process_host_serving_path(rng):
+    """NumPy-in/NumPy-out serving wrapper returns audio + waterfall dB."""
+    iq = make_iq(rng, CFG.block_frames, "fm", fs=CFG.sample_rate)
+    pipe = FrontEndPipeline(
+        CFG, make_receiver_params(CFG, 100_000, 80_000, 8_000, "FM")
+    )
+    audio, latest_db = pipe.process_host(np.ascontiguousarray(iq.T))
+    assert audio.shape == (1, CFG.audio_frames)
+    assert latest_db.shape == (CFG.fft_size,)
+    assert np.isfinite(latest_db).any()

@@ -38,11 +38,11 @@ def _reference_audio(iq, n_blocks=2):
     state = init_state(CFG)
     outs, specs = [], []
     for b in range(n_blocks):
-        blk = iq[b * CFG.block_frames : (b + 1) * CFG.block_frames]
+        blk = iq[:, b * CFG.block_frames : (b + 1) * CFG.block_frames]
         state, audio, spectra = frontend_step(CFG, params, state, blk)
         outs.append(np.asarray(audio))
         specs.append(np.asarray(spectra))
-    return state, np.concatenate(outs, -1), np.concatenate(specs, 0)
+    return state, np.concatenate(outs, -1), np.concatenate(specs, 1)
 
 
 @pytest.mark.parametrize("tshape", [(1, 4), (2, 2), (4, 2), (2, 4), (8, 1)])
@@ -52,19 +52,19 @@ def test_sharded_matches_single_device(rng, tshape):
         pytest.skip("more chan shards than channels")
     mesh = make_mesh(t, c)
     iq_np = make_iq(rng, 2 * CFG.block_frames, "fm", fs=CFG.sample_rate)
-    iq = jnp.asarray(iq_np[:, 0] + 1j * iq_np[:, 1])
+    iq = jnp.asarray(np.ascontiguousarray(iq_np.T))  # [2, N] planes
 
     ref_state, ref_audio, ref_spec = _reference_audio(iq)
 
     fe = ShardedFrontEnd(CFG, _params(), mesh)
     outs, specs = [], []
     for b in range(2):
-        blk = iq[b * CFG.block_frames : (b + 1) * CFG.block_frames]
+        blk = iq[:, b * CFG.block_frames : (b + 1) * CFG.block_frames]
         audio, spectra = fe.process(blk)
         outs.append(np.asarray(audio))
         specs.append(np.asarray(spectra))
     got_audio = np.concatenate(outs, -1)
-    got_spec = np.concatenate(specs, 0)
+    got_spec = np.concatenate(specs, 1)
 
     np.testing.assert_allclose(ref_audio, got_audio, atol=3e-6)
     np.testing.assert_allclose(ref_spec, got_spec, atol=2e-3)

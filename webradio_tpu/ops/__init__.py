@@ -2,8 +2,16 @@
 
 Every op is a pure function over arrays with explicit state, designed to be
 ``jit``/``vmap``/``shard_map`` composed. Time is the trailing axis; channel
-batches lead. All signal arithmetic is float32/complex64, matching the
-reference's ``typedef float sample_t`` (src/dsp/dspblock.h:45).
+batches lead; IQ signals are float32 real planes stacked on a leading axis
+``[2, ..., N]`` (the serving TPU backend has no complex dtype — and real
+planes are the natural VPU layout regardless). All arithmetic is float32,
+matching the reference's ``typedef float sample_t`` (src/dsp/dspblock.h:45).
+
+The op surface is deliberately restricted to what minimal TPU backends
+lower: elementwise VPU math (incl. sin/cos/sqrt/log), static strided slices,
+concat/pad/reshape, uint32 integer arithmetic, and MXU matmuls. No complex
+dtype, no FFT op (DFT-as-matmul instead), no convolution op (unrolled
+strided MACs), no gather, no atan2 (software polynomial in ``trig``).
 
 Block-based equivalents of the reference's sample-at-a-time loops:
 
@@ -17,12 +25,14 @@ Block-based equivalents of the reference's sample-at-a-time loops:
 ===================  =====================================================
 """
 
+from . import nco
 from .window import hamming
 from .firdesign import design_lowpass_fir
 from .fir import fir_decimate, fir_decimate_streaming, overlap_save_decimate
 from .nco import nco_phase_step, nco_mix, nco_advance
 from .demod import MODES, MODE_AM, MODE_FM, MODE_USB, MODE_LSB, demodulate
-from .spectrum import spectrum_accumulate, spectrum_db
+from .spectrum import spectrum_accumulate, spectrum_db, dft_matrices
+from .trig import atan2
 
 __all__ = [
     "hamming",
@@ -30,6 +40,7 @@ __all__ = [
     "fir_decimate",
     "fir_decimate_streaming",
     "overlap_save_decimate",
+    "nco",
     "nco_phase_step",
     "nco_mix",
     "nco_advance",
@@ -41,4 +52,6 @@ __all__ = [
     "demodulate",
     "spectrum_accumulate",
     "spectrum_db",
+    "dft_matrices",
+    "atan2",
 ]

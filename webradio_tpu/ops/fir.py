@@ -3,21 +3,24 @@
 The reference evaluates a 64-tap direct-form FIR sample-at-a-time at every
 retained (decimated) output position, carrying ``fir_length - 1`` frames of
 history between blocks (src/dsp/lowpass.cxx:131-162). Here the same
-computation is a *block* operation over ``[..., N]`` signals with two
-TPU-first formulations:
+computation is a block operation over ``[..., N]`` float32 planes (IQ
+signals are two planes stacked on a leading axis — the target TPU backend
+has no complex dtype, and real planes map 1:1 onto the VPU anyway).
 
-* :func:`fir_decimate` — strided cross-correlation via
-  ``lax.conv_general_dilated`` (XLA lowers 1-D strided conv onto the
-  TPU convolution path). For small tap counts (K=64) and large decimation
-  this is compute-minimal: ``K * N / D`` MACs, each input sample read
-  ``K/D`` times from VMEM.
+Two formulations:
 
-* :func:`overlap_save_decimate` — frequency-domain overlap-save convolution:
-  segment the input with ``K-1`` overlap, batched FFT x filter response x
-  inverse FFT, discard wrap-around, decimate. Wins when K is large (sharp
-  channel filters) or D is small; the segmenting also defines the halo
-  exchanged between time-shards in the multi-chip path (SURVEY §5
-  "overlap-save boundary exchange").
+* :func:`fir_decimate` — K unrolled strided multiply-accumulates:
+  ``y[.., n] = sum_k coeff[K-1-k] * xext[.., n*D + k]`` with each ``k`` a
+  static strided slice. XLA fuses the K terms into one vector loop; there is
+  no gather, no conv op, no dynamic shape — the minimal op surface. Compute
+  is ``K * N / D`` MACs; each input element is touched ``K/D`` times from
+  VMEM-resident tiles.
+
+* :func:`overlap_save_decimate` — frequency-domain overlap-save convolution
+  (batched FFTs). Wins for large tap counts / small decimation; uses
+  ``jnp.fft`` and therefore runs on backends with an FFT lowering (CPU and
+  full TPU builds). The segmenting defines the halo exchanged between
+  time-shards in the multi-chip path (SURVEY §5).
 
 State is explicit: callers thread the ``K-1``-frame history; block-size
 invariance (same stream, any block split, identical output) is the core
@@ -34,57 +37,12 @@ import numpy as np
 from jax import lax
 
 
-def _ext_with_history(x: jax.Array, history: jax.Array) -> jax.Array:
-    return jnp.concatenate([history, x], axis=-1)
-
-
-def _corr_strided_real(xext: jax.Array, kernel: jax.Array, stride: int) -> jax.Array:
-    """Batched strided cross-correlation on float32 planes.
-
-    ``xext``: [B, T] float32, ``kernel``: [K] or [B, K] float32 (already in
-    correlation order, i.e. reference coefficients reversed). Output
-    ``[B, (T - K) // stride + 1]``: ``y[b, n] = sum_k kernel[b, k] *
-    xext[b, n*stride + k]`` — exactly the loop at src/dsp/lowpass.cxx:151-159.
-    """
-    b, t = xext.shape
-    if kernel.ndim == 1:
-        lhs = xext[:, None, :]  # [B, 1, T]
-        rhs = kernel[None, None, :]  # [O=1, I=1, K]
-        out = lax.conv_general_dilated(
-            lhs,
-            rhs,
-            window_strides=(stride,),
-            padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
+def _check_block(n: int, decimation: int) -> None:
+    if n % decimation:
+        raise ValueError(
+            "block length must be a multiple of the decimation factor so the "
+            "decimation grid stays aligned across blocks (dspblock.cxx:176-184)"
         )
-        return out[:, 0, :]
-    # per-channel kernels -> grouped conv, one group per batch row
-    lhs = xext[None, :, :]  # [1, B, T]
-    rhs = kernel[:, None, :]  # [B, 1, K]
-    out = lax.conv_general_dilated(
-        lhs,
-        rhs,
-        window_strides=(stride,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=b,
-    )
-    return out[0]
-
-
-def _apply_planes(fn, x: jax.Array) -> jax.Array:
-    """Apply a real-plane function to float32 or complex64 input.
-
-    Complex signals are filtered as two real planes stacked into the batch —
-    the reference's interleaved-2-channel FIR (lowpass.cxx:155-156) — keeping
-    the convolution real-typed for the TPU conv path.
-    """
-    if jnp.iscomplexobj(x):
-        planes = jnp.concatenate([x.real, x.imag], axis=0)
-        y = fn(planes)
-        half = y.shape[0] // 2
-        return lax.complex(y[:half], y[half:])
-    return fn(x)
 
 
 @functools.partial(jax.jit, static_argnames=("decimation",))
@@ -97,48 +55,49 @@ def fir_decimate(
     """Decimating FIR with explicit history carry.
 
     Args:
-      x: ``[C, N]`` float32 or complex64 (``C`` = channel batch; use C=1 for
-        a single receiver). ``N`` must be a multiple of ``decimation`` and
-        at least ``K - 1``.
-      coeff: ``[K]`` shared or ``[C, K]`` per-channel float32 coefficients in
-        design order (:func:`~webradio_tpu.ops.firdesign.design_lowpass_fir`).
-      decimation: integer decimation factor ``D`` (dspblock.cxx:118-130
-        enforces integer rate ratios; we keep that constraint).
-      history: ``[C, K-1]`` same dtype as ``x`` — the retained previous
-        frames (zeros for a fresh stream, lowpass.cxx:133-142).
+      x: ``[..., N]`` float32 — arbitrary leading batch dims (planes,
+        channels). ``N`` must be a multiple of ``decimation`` and at least
+        ``K - 1``.
+      coeff: ``[K]`` shared or ``[C, K]`` per-channel float32 coefficients
+        in design order (design_lowpass_fir); per-channel coefficients
+        broadcast against ``x``'s axis -2.
+      decimation: integer factor ``D`` (integer rate ratios enforced, as
+        dspblock.cxx:118-130 does).
+      history: ``[..., K-1]`` float32 — retained previous frames (zeros for
+        a fresh stream, lowpass.cxx:133-142).
 
-    Returns:
-      ``(y, new_history)`` with ``y: [C, N // D]`` and
-      ``new_history = x[..., -(K-1):]``.
+    Returns ``(y, new_history)``: ``y [..., N // D]``,
+    ``new_history = x[..., -(K-1):]``.
+
+    Reference inner loop (lowpass.cxx:151-159):
+    ``out[n] = sum_k coeff[K-1-k] * block[n*D + k]`` with ``block`` =
+    history ++ input.
     """
     k = coeff.shape[-1]
-    if x.shape[-1] % decimation:
-        raise ValueError(
-            "block length must be a multiple of the decimation factor so the "
-            "decimation grid stays aligned across blocks (dspblock.cxx:176-184)"
-        )
+    n = x.shape[-1]
+    _check_block(n, decimation)
+    nd = n // decimation
+    xext = jnp.concatenate([history, x], axis=-1)  # [..., N + K - 1]
     kernel = jnp.flip(coeff, axis=-1).astype(jnp.float32)
-    xext = _ext_with_history(x, history)
 
-    if coeff.ndim == 1:
-        corr = lambda p: _corr_strided_real(p, kernel, decimation)
-    else:
-        # complex planes double the batch; tile kernels to match
-        def corr(p):
-            reps = p.shape[0] // kernel.shape[0]
-            kb = jnp.tile(kernel, (reps, 1))
-            return _corr_strided_real(p, kb, decimation)
-
-    y = _apply_planes(corr, xext)
-    new_history = x[..., x.shape[-1] - (k - 1):]
-    return y, new_history
+    span = (nd - 1) * decimation + 1
+    acc = jnp.zeros(x.shape[:-1] + (nd,), jnp.float32)
+    for tap in range(k):
+        seg = lax.slice_in_dim(xext, tap, tap + span, stride=decimation, axis=-1)
+        if kernel.ndim == 1:
+            acc = acc + kernel[tap] * seg
+        else:
+            # [C, K] -> [C, 1] broadcasts over [..., C, nd]
+            acc = acc + kernel[..., tap : tap + 1] * seg
+    new_history = x[..., n - (k - 1):]
+    return acc, new_history
 
 
 def fir_decimate_streaming(
     x: jax.Array, coeff: jax.Array, decimation: int, history: jax.Array
 ):
-    """Alias of :func:`fir_decimate` (kept for API symmetry with the
-    overlap-save variant; both carry identical state)."""
+    """Alias of :func:`fir_decimate` (API symmetry with the overlap-save
+    variant; both carry identical state)."""
     return fir_decimate(x, coeff, decimation, history)
 
 
@@ -160,25 +119,22 @@ def overlap_save_decimate(
     segment_len: int | None = None,
     fft_len: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
-    """Frequency-domain decimating FIR (overlap-save), same contract as
-    :func:`fir_decimate`.
+    """Frequency-domain decimating FIR (overlap-save); same contract as
+    :func:`fir_decimate`, same float32 real-plane API.
+
+    Requires an FFT lowering (CPU / full TPU); the restricted serving
+    backend routes through :func:`fir_decimate` instead
+    (ChainConfig.use_overlap_save).
 
     The input (with history prepended) is cut into ``N / S`` segments of
-    ``L = fft_len`` samples overlapping by ``L - S >= K - 1``; each segment is
-    convolved circularly via batched FFTs and the first ``K - 1`` wrapped
-    outputs are discarded. Numerically this differs from the direct form only
-    by float32 FFT rounding — covered by the SNR-bound tests.
-
-    ``segment_len`` must divide ``N``; defaults to the largest power of two
-    ``<= N`` capped at 4096.
+    ``L = fft_len`` samples overlapping by ``L - S >= K - 1``; each segment
+    is convolved circularly via batched FFTs and the first ``K - 1`` wrapped
+    outputs are discarded. Numerically differs from the direct form only by
+    float32 FFT rounding (covered by the SNR-bound tests).
     """
     k = coeff.shape[-1]
     n = x.shape[-1]
-    if n % decimation:
-        raise ValueError(
-            "block length must be a multiple of the decimation factor so the "
-            "decimation grid stays aligned across blocks (dspblock.cxx:176-184)"
-        )
+    _check_block(n, decimation)
     if segment_len is None:
         segment_len = min(4096, _next_pow2(n) if _next_pow2(n) <= n else n)
         while n % segment_len:
@@ -191,19 +147,15 @@ def overlap_save_decimate(
         raise ValueError("fft_len too small for segment + filter overlap")
     num_seg = n // s
 
-    xext = _ext_with_history(x, history)  # [..., N + K - 1]
+    xext = jnp.concatenate([history, x], axis=-1)  # [..., N + K - 1]
     pad = (num_seg - 1) * s + l - xext.shape[-1]
     xpad = jnp.pad(xext, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
 
-    # gather overlapping segments: seg[c, s_idx, t] = xpad[c, s_idx*S + t]
+    # overlapping segments via static strided window gather
     starts = np.arange(num_seg) * s
     idx = starts[:, None] + np.arange(l)[None, :]
     segs = jnp.take(xpad, jnp.asarray(idx), axis=-1)  # [..., num_seg, L]
-
-    if jnp.iscomplexobj(x):
-        z = segs.astype(jnp.complex64)
-    else:
-        z = segs.astype(jnp.float32).astype(jnp.complex64)
+    z = segs.astype(jnp.complex64)
 
     # Circular *convolution* with the design-order coefficients equals the
     # reference's reversed-coefficient correlation at output offset K-1:
@@ -218,8 +170,6 @@ def overlap_save_decimate(
     yf = jnp.fft.ifft(jnp.fft.fft(z, axis=-1) * hf, axis=-1)
     valid = lax.slice_in_dim(yf, k - 1, k - 1 + s, axis=-1)  # [..., num_seg, S]
     yfull = valid.reshape(valid.shape[:-2] + (num_seg * s,))
-    y = yfull[..., ::decimation]
-    if not jnp.iscomplexobj(x):
-        y = y.real.astype(jnp.float32)
+    y = yfull[..., ::decimation].real.astype(jnp.float32)
     new_history = x[..., n - (k - 1):]
     return y, new_history

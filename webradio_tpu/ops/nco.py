@@ -3,11 +3,11 @@
 The reference NCO is a 31-bit integer phase accumulator whose top 16 bits
 index a 2^16-entry sine table; each IQ sample is multiplied by the conjugate
 of the local oscillator (src/dsp/downconverter.cxx:35-52,91-114). Integer
-phase is the *right* TPU design too: it is exact, wrap-free over unbounded
-stream durations, and the phase of sample ``n`` has the closed form
-``(phase0 + n * step) mod 2^31`` — so the state carry is one uint32 and
-time-sharding a stream needs no sequential dependency at all (each shard
-computes its own phases from the block's start phase; SURVEY §5).
+phase is the *right* TPU design too: exact, wrap-free over unbounded stream
+durations, and the phase of sample ``n`` has the closed form
+``(phase0 + n * step) mod 2^31`` — the state carry is one uint32 and
+time-sharding needs no sequential dependency at all (each shard computes its
+own phases from the block-start phase; SURVEY §5).
 
 Vectorization notes:
 
@@ -15,9 +15,12 @@ Vectorization notes:
   wrap-around: since 2^31 divides 2^32, ``(x mod 2^32) mod 2^31 ==
   x mod 2^31``.
 * The table lookup becomes direct evaluation: the reference table holds
-  ``sinf(idx * 2pi / 2^16)`` (downconverter.cxx:50-51), so computing
-  ``sin`` at the *quantized* angle reproduces table semantics to float32
-  rounding — no 256 KiB gather on the VPU's critical path.
+  ``sinf(idx * 2pi / 2^16)`` (downconverter.cxx:50-51), so computing ``sin``
+  at the *quantized* angle reproduces table semantics to float32 rounding —
+  no 256 KiB gather on the VPU's critical path (the restricted TPU backend
+  has no gather lowering anyway).
+* Signals are float32 real planes stacked on a leading axis ``[2, C, N]``
+  (no complex dtype on the target backend).
 """
 
 from __future__ import annotations
@@ -49,16 +52,16 @@ def nco_phase_step(if_hz: int, fs_hz: int) -> int:
 
 @jax.jit
 def nco_mix(x: jax.Array, phase0: jax.Array, phase_step: jax.Array) -> jax.Array:
-    """Mix ``x`` with the conjugate LO: ``x[n] * exp(-j*theta_n)``.
+    """Mix ``x`` with the conjugate LO.
 
     Args:
-      x: ``[C, N]`` complex64 IQ (``i + jq``).
+      x: ``[2, C, N]`` or ``[2, 1, N]`` float32 IQ planes (broadcast over
+        channels).
       phase0: ``[C]`` uint32 phase accumulator at the first sample.
-      phase_step: ``[C]`` uint32 per-sample phase increment
-        (:func:`nco_phase_step`).
+      phase_step: ``[C]`` uint32 per-sample increment (:func:`nco_phase_step`).
 
-    Returns ``[C, N]`` complex64. ``theta_n`` is quantized to the top 16 bits
-    of the 31-bit accumulator exactly as the reference's table index
+    Returns ``[2, C, N]`` float32. ``theta_n`` is quantized to the top 16
+    bits of the 31-bit accumulator exactly as the reference's table index
     (downconverter.cxx:99-103); the mixer computes
     ``I' = i*cos + q*sin, Q' = q*cos - i*sin`` (downconverter.cxx:105-110).
     """
@@ -66,14 +69,14 @@ def nco_mix(x: jax.Array, phase0: jax.Array, phase_step: jax.Array) -> jax.Array
     phases = (phase0[:, None] + n[None, :] * phase_step[:, None]) & jnp.uint32(
         PHASE_MASK
     )
-    sinidx = (phases >> LOOKUP_SHIFT).astype(jnp.float32)
-    cosidx = ((phases >> LOOKUP_SHIFT) + jnp.uint32((1 << LOOKUP_BITS) // 4)) & (
-        jnp.uint32(LOOKUP_MASK)
+    sinidx = phases >> LOOKUP_SHIFT
+    cosidx = (sinidx + jnp.uint32((1 << LOOKUP_BITS) // 4)) & jnp.uint32(
+        LOOKUP_MASK
     )
-    s = jnp.sin(sinidx * _ANGLE_SCALE)
+    s = jnp.sin(sinidx.astype(jnp.float32) * _ANGLE_SCALE)
     c = jnp.sin(cosidx.astype(jnp.float32) * _ANGLE_SCALE)
-    lo_conj = jax.lax.complex(c, -s)
-    return x * lo_conj
+    i, q = x[0], x[1]
+    return jnp.stack([i * c + q * s, q * c - i * s])
 
 
 def nco_advance(phase0: jax.Array, phase_step: jax.Array, n: int) -> jax.Array:

@@ -5,20 +5,21 @@ is re-expressed per-shard with explicit halo exchange, the analog of
 sequence/context parallelism for streaming DSP (SURVEY §5):
 
 * channel axis: ``[C, ...]`` params/state/outputs sharded over ``chan`` —
-  no communication, the pure data-parallel axis.
-* time axis: the wideband block ``[N]`` is sharded over ``time``. Each time
-  shard needs from its left neighbor exactly the reference's carries
-  (lowpass.cxx:133-142, demodulator.cxx:110-111, spectrumsink.cxx:102-117):
+  no communication, the pure data-parallel axis (the reference's only
+  scalable axis, there iterated sequentially: radio.cxx:151-156).
+* time axis: the wideband block ``[2, N]`` is sharded over ``time``. Each
+  time shard needs from its left neighbor exactly the reference's carries
+  (lowpass.cxx:133-142, demodulator.cxx:110-111):
 
   - ``K-1`` mixed input frames   (channel-FIR history halo)
   - the last channel-rate sample (FM discriminator previous sample)
   - ``K-1`` demodulated samples  (audio-FIR history halo)
-  - the last ``fft_size`` raw IQ frames (spectrum tail)
 
-  all moved by one ``lax.ppermute`` each over ICI; shard 0 uses the carried
+  each moved by one ``lax.ppermute`` over ICI; shard 0 uses the carried
   block state instead. NCO phase is *computed*, not communicated:
   ``(phase0 + shard_start * step) mod 2^31`` (downconverter.cxx:103 made
-  closed-form).
+  closed-form). The spectrum has no carry at all (whole FFT groups per
+  shard are enforced).
 
 Block-level output state (what the next block's shard 0 needs) is the last
 time shard's carries, replicated with a masked ``psum``.
@@ -31,15 +32,21 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import ops
-from ..pipeline.state import ChainConfig, FrontEndParams, FrontEndState, ReceiverState
+from ..pipeline.state import (
+    ChainConfig,
+    FrontEndParams,
+    FrontEndState,
+    ReceiverParams,
+    ReceiverState,
+)
 
 
 def _right_perm(n: int):
     """ppermute pairs sending shard i -> i+1 (open chain: shard 0 receives
-    zeros, which shard 0 never uses — it takes the carried state)."""
+    zeros, which it never uses — it takes the carried block state)."""
     return [(i, i + 1) for i in range(n - 1)]
 
 
@@ -53,43 +60,39 @@ def _shard_body(cfg: ChainConfig, t_shards: int, params, state, iq_local):
     tidx = lax.axis_index("time")
     n_local = cfg.block_frames // t_shards
     k = cfg.fir_length
-    f = cfg.fft_size
     rxp, rxs = params.rx, state.rx
     perm = _right_perm(t_shards)
 
-    # ---- spectrum: tail halo = left neighbor's last F frames of raw IQ
-    tail_halo = lax.ppermute(iq_local[-f:], "time", perm)
-    tail = jnp.where(tidx == 0, state.spec_tail, tail_halo)
-    spectra, new_tail_local, spec_offset = ops.spectrum_accumulate(
-        iq_local, tail, state.spec_offset, f
-    )
-    new_tail = _from_last(new_tail_local, tidx, t_shards)
+    # ---- spectrum: no carry (whole DFT groups per shard)
+    spectra = ops.spectrum_accumulate(iq_local, cfg.fft_size)
 
     # ---- NCO: closed-form per-shard start phase, no communication
     shard_start = (tidx * n_local).astype(jnp.uint32)
     phase_here = (
         rxs.nco_phase + shard_start * rxp.phase_step
     ) & jnp.uint32(ops.nco.PHASE_MASK)
-    mixed = ops.nco_mix(iq_local[None, :], phase_here, rxp.phase_step)
+    mixed = ops.nco_mix(iq_local[:, None, :], phase_here, rxp.phase_step)
     new_phase = ops.nco_advance(
         rxs.nco_phase, rxp.phase_step, cfg.block_frames
     )
 
     # ---- channel FIR: history halo = left neighbor's last K-1 mixed frames
-    chan_halo = lax.ppermute(mixed[:, -(k - 1):], "time", perm)
+    chan_halo = lax.ppermute(mixed[:, :, mixed.shape[-1] - (k - 1):], "time", perm)
     chan_hist = jnp.where(tidx == 0, rxs.chan_hist, chan_halo)
     fir = ops.overlap_save_decimate if cfg.use_overlap_save else ops.fir_decimate
     chan, chan_hist_local = fir(mixed, rxp.chan_coeff, cfg.chan_decim, chan_hist)
     new_chan_hist = _from_last(chan_hist_local, tidx, t_shards)
 
     # ---- demod: previous-sample halo at the channel rate
-    prev_halo = lax.ppermute(chan[:, -1], "time", perm)
+    prev_halo = lax.ppermute(chan[:, :, chan.shape[-1] - 1], "time", perm)
     prev = jnp.where(tidx == 0, rxs.demod_prev, prev_halo)
     audio_if, demod_prev_local = ops.demodulate(chan, rxp.mode, prev)
     new_demod_prev = _from_last(demod_prev_local, tidx, t_shards)
 
     # ---- audio FIR: history halo at the channel rate
-    audio_halo = lax.ppermute(audio_if[:, -(k - 1):], "time", perm)
+    audio_halo = lax.ppermute(
+        audio_if[:, audio_if.shape[-1] - (k - 1):], "time", perm
+    )
     audio_hist = jnp.where(tidx == 0, rxs.audio_hist, audio_halo)
     audio, audio_hist_local = fir(
         audio_if, rxp.audio_coeff, cfg.audio_decim, audio_hist
@@ -97,8 +100,6 @@ def _shard_body(cfg: ChainConfig, t_shards: int, params, state, iq_local):
     new_audio_hist = _from_last(audio_hist_local, tidx, t_shards)
 
     new_state = FrontEndState(
-        spec_tail=new_tail,
-        spec_offset=spec_offset,
         rx=ReceiverState(
             nco_phase=new_phase,
             chan_hist=new_chan_hist,
@@ -113,9 +114,9 @@ def sharded_frontend_step(cfg: ChainConfig, mesh: Mesh):
     """Build the jitted sharded step for a given mesh.
 
     Returns ``step(params, state, iq) -> (state, audio, spectra)`` where
-    ``iq`` is ``[block_frames]`` (sharded over ``time``), ``audio`` comes
+    ``iq`` is ``[2, block_frames]`` (sharded over ``time``), ``audio`` comes
     back ``[C, audio_frames]`` sharded ``(chan, time)`` and ``spectra``
-    ``[N // fft_size, fft_size]`` sharded ``(time, None)``.
+    ``[2, N // fft_size, fft_size]`` sharded ``(None, time, None)``.
     """
     t_shards = mesh.shape["time"]
     c_shards = mesh.shape["chan"]
@@ -129,36 +130,30 @@ def sharded_frontend_step(cfg: ChainConfig, mesh: Mesh):
     if cfg.num_channels % c_shards:
         raise ValueError("num_channels must divide over chan shards")
 
-    # pytrees of PartitionSpecs mirroring FrontEndParams / FrontEndState
-    from ..pipeline.state import ReceiverParams
-
-    rx_p = lambda *rest: P("chan", *rest)
     params_spec = FrontEndParams(
         rx=ReceiverParams(
-            phase_step=rx_p(),
-            chan_coeff=rx_p(None),
-            audio_coeff=rx_p(None),
-            mode=rx_p(),
+            phase_step=P("chan"),
+            chan_coeff=P("chan", None),
+            audio_coeff=P("chan", None),
+            mode=P("chan"),
         )
     )
     state_spec = FrontEndState(
-        spec_tail=P(),
-        spec_offset=P(),
         rx=ReceiverState(
-            nco_phase=rx_p(),
-            chan_hist=rx_p(None),
-            demod_prev=rx_p(),
-            audio_hist=rx_p(None),
+            nco_phase=P("chan"),
+            chan_hist=P(None, "chan", None),
+            demod_prev=P(None, "chan"),
+            audio_hist=P("chan", None),
         ),
     )
     out_audio_spec = P("chan", "time")
-    out_spectra_spec = P("time", None)
+    out_spectra_spec = P(None, "time", None)
 
     body = functools.partial(_shard_body, cfg, t_shards)
     smapped = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(params_spec, state_spec, P("time")),
+        in_specs=(params_spec, state_spec, P(None, "time")),
         out_specs=(state_spec, out_audio_spec, out_spectra_spec),
         check_vma=False,
     )

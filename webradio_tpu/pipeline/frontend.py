@@ -3,8 +3,11 @@
 Replaces the reference's depth-first walk of the block graph per 42.7 ms
 block (src/radio.cxx:56-59 -> dspblock.cxx:206-209) with a single traced
 program XLA can fuse end-to-end: NCO mix feeds the channel FIR without a
-round-trip to HBM, all channels advance as one ``[C, N]`` batch, and the
-spectrum FFTs batch across the block.
+round-trip to HBM, all channels advance as one batched computation, and the
+spectrum DFTs batch onto the MXU.
+
+Signal representation: IQ is float32 real planes ``[2, ..., N]``; see
+``webradio_tpu.ops`` for the restricted-op-surface rationale.
 """
 
 from __future__ import annotations
@@ -13,9 +16,10 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .. import ops
-from .state import ChainConfig, FrontEndParams, FrontEndState
+from .state import ChainConfig, FrontEndParams, FrontEndState, ReceiverState
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
@@ -30,22 +34,21 @@ def frontend_step(
     Args:
       cfg: static chain configuration (shapes, rates).
       params: control-plane parameters (may change every call, no recompile).
-      state: carried DSP state (donated — its buffers are reused in place).
-      iq: ``[block_frames]`` complex64 wideband IQ at ``cfg.sample_rate``.
+      state: carried DSP state (donated — buffers reused in place).
+      iq: ``[2, block_frames]`` float32 wideband IQ planes at
+        ``cfg.sample_rate``.
 
     Returns:
-      ``(new_state, audio, spectra)``: audio is ``[C, audio_frames]``
-      float32 at ``cfg.audio_rate``; spectra is
-      ``[block_frames // fft_size, fft_size]`` complex64 raw FFT rows
-      (row -1 = the reference's "latest" frame, spectrumsink.cxx:107-117).
+      ``(new_state, audio, spectra)``: audio ``[C, audio_frames]`` float32
+      at ``cfg.audio_rate``; spectra ``[2, block_frames // fft_size,
+      fft_size]`` raw DFT planes (row -1 = the reference's "latest" frame,
+      spectrumsink.cxx:107-117).
     """
     rxp, rxs = params.rx, state.rx
 
-    spectra, spec_tail, spec_offset = ops.spectrum_accumulate(
-        iq, state.spec_tail, state.spec_offset, cfg.fft_size
-    )
+    spectra = ops.spectrum_accumulate(iq, cfg.fft_size)
 
-    mixed = ops.nco_mix(iq[None, :], rxs.nco_phase, rxp.phase_step)
+    mixed = ops.nco_mix(iq[:, None, :], rxs.nco_phase, rxp.phase_step)
     nco_phase = ops.nco_advance(rxs.nco_phase, rxp.phase_step, cfg.block_frames)
 
     fir = ops.overlap_save_decimate if cfg.use_overlap_save else ops.fir_decimate
@@ -58,9 +61,7 @@ def frontend_step(
     )
 
     new_state = FrontEndState(
-        spec_tail=spec_tail,
-        spec_offset=spec_offset,
-        rx=type(rxs)(
+        rx=ReceiverState(
             nco_phase=nco_phase,
             chan_hist=chan_hist,
             demod_prev=demod_prev,
@@ -70,12 +71,30 @@ def frontend_step(
     return new_state, audio, spectra
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def frontend_step_serving(
+    cfg: ChainConfig,
+    params: FrontEndParams,
+    state: FrontEndState,
+    iq: jax.Array,
+) -> tuple[FrontEndState, jax.Array, jax.Array]:
+    """Serving variant: returns (state, audio, latest spectrum row in dB).
+
+    Fuses the dB/fftshift conversion (spectrumsink.cxx:125-142) into the
+    step so the host fetches exactly what the waterfall JSON needs.
+    """
+    new_state, audio, spectra = frontend_step(cfg, params, state, iq)
+    latest_db = ops.spectrum_db(spectra[:, spectra.shape[1] - 1, :])
+    return new_state, audio, latest_db
+
+
 class FrontEndPipeline:
     """Stateful convenience wrapper around :func:`frontend_step`.
 
     Owns the state pytree and current parameters; the web layer mutates
     parameters via :meth:`update_params` (picked up at the next block — the
-    <=43 ms control latency of the reference, without its data races).
+    <=43 ms control latency of the reference, without its data races,
+    SURVEY §3.5).
     """
 
     def __init__(self, cfg: ChainConfig, params: FrontEndParams):
@@ -89,13 +108,28 @@ class FrontEndPipeline:
         self.params = params
 
     def process(self, iq: jax.Array):
-        """One block in, (audio, spectra) out. Not thread-safe by design:
-        call from the single pipeline thread (the reference's model,
+        """One block in, (audio, raw spectra planes) out. Not thread-safe by
+        design: call from the single pipeline thread (the reference's model,
         radio.cxx:56-59)."""
         self.state, audio, spectra = frontend_step(
             self.cfg, self.params, self.state, iq
         )
         return audio, spectra
+
+    def process_host(self, iq_planes: np.ndarray):
+        """Host convenience for the live server: NumPy in, NumPy out.
+
+        Args:
+          iq_planes: ``[2, block_frames]`` float32.
+
+        Returns ``(audio, latest_db)`` as NumPy: ``[C, audio_frames]`` and
+        ``[fft_size]`` (ascending frequency, dB).
+        """
+        iq = jnp.asarray(iq_planes)
+        self.state, audio, latest_db = frontend_step_serving(
+            self.cfg, self.params, self.state, iq
+        )
+        return np.asarray(audio), np.asarray(latest_db)
 
     def reset(self) -> None:
         from .state import init_state

@@ -47,8 +47,12 @@ class ChainConfig:
             raise ValueError("channel_rate must be a multiple of audio_rate")
         if self.block_frames % self.fft_size:
             raise ValueError("block_frames must be a multiple of fft_size")
-        if self.block_frames % self.chan_decim:
-            raise ValueError("block_frames must be a multiple of decimation")
+        if self.block_frames % (self.chan_decim * self.audio_decim):
+            raise ValueError(
+                "block_frames must be a multiple of the total decimation "
+                f"({self.chan_decim * self.audio_decim}) so every stage's "
+                "output grid stays block-aligned"
+            )
 
     @property
     def chan_decim(self) -> int:
@@ -77,11 +81,17 @@ class ReceiverParams(NamedTuple):
 
 
 class ReceiverState(NamedTuple):
-    """Per-channel cross-block carries (SURVEY §5)."""
+    """Per-channel cross-block carries (SURVEY §5).
+
+    IQ-valued carries are float32 real planes with a leading ``2`` axis
+    (re, im) — no complex dtype on the serving backend. The spectrum needs
+    no carry: ``block_frames % fft_size == 0`` is enforced, which pins the
+    reference's fill offset (spectrumsink.cxx:102-117) to zero.
+    """
 
     nco_phase: jnp.ndarray  # [C] uint32
-    chan_hist: jnp.ndarray  # [C, K-1] complex64
-    demod_prev: jnp.ndarray  # [C] complex64
+    chan_hist: jnp.ndarray  # [2, C, K-1] float32 (IQ planes)
+    demod_prev: jnp.ndarray  # [2, C] float32 (IQ planes)
     audio_hist: jnp.ndarray  # [C, K-1] float32
 
 
@@ -90,8 +100,6 @@ class FrontEndParams(NamedTuple):
 
 
 class FrontEndState(NamedTuple):
-    spec_tail: jnp.ndarray  # [F] complex64
-    spec_offset: jnp.ndarray  # uint32 scalar
     rx: ReceiverState
 
 
@@ -151,14 +159,12 @@ def make_receiver_params(
 
 def init_state(cfg: ChainConfig) -> FrontEndState:
     """Fresh stream state: zero histories, zero phase (dspblock start)."""
-    c, k, f = cfg.num_channels, cfg.fir_length, cfg.fft_size
+    c, k = cfg.num_channels, cfg.fir_length
     return FrontEndState(
-        spec_tail=jnp.zeros(f, jnp.complex64),
-        spec_offset=jnp.uint32(0),
         rx=ReceiverState(
             nco_phase=jnp.zeros(c, jnp.uint32),
-            chan_hist=jnp.zeros((c, k - 1), jnp.complex64),
-            demod_prev=jnp.zeros(c, jnp.complex64),
+            chan_hist=jnp.zeros((2, c, k - 1), jnp.float32),
+            demod_prev=jnp.zeros((2, c), jnp.float32),
             audio_hist=jnp.zeros((c, k - 1), jnp.float32),
         ),
     )

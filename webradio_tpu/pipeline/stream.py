@@ -27,7 +27,7 @@ def _scan_capture(
 ):
     def body(carry, iq):
         new_state, audio, spectra = frontend_step(cfg, params, carry, iq)
-        return new_state, (audio, spectra[-1])
+        return new_state, (audio, spectra[:, -1, :])
 
     final, (audio, latest_spectra) = jax.lax.scan(body, state, blocks)
     return final, audio, latest_spectra
@@ -42,19 +42,23 @@ def run_capture(
     """Demodulate a whole recorded capture.
 
     Args:
-      iq: ``[total_frames]`` complex64; truncated to a whole number of
-        blocks of ``cfg.block_frames``.
+      iq: ``[2, total_frames]`` float32 IQ planes; truncated to a whole
+        number of blocks of ``cfg.block_frames``.
 
     Returns:
       ``(final_state, audio, latest_spectra)`` — audio ``[C, total_audio]``
       float32 (blocks concatenated in time), and per-block latest spectrum
-      rows ``[num_blocks, fft_size]`` complex64.
+      rows ``[num_blocks, 2, fft_size]`` raw DFT planes.
     """
     n_blocks = iq.shape[-1] // cfg.block_frames
     if n_blocks == 0:
         raise ValueError("capture shorter than one block")
-    blocks = iq[: n_blocks * cfg.block_frames].reshape(
-        n_blocks, cfg.block_frames
+    blocks = jnp.moveaxis(
+        iq[:, : n_blocks * cfg.block_frames].reshape(
+            2, n_blocks, cfg.block_frames
+        ),
+        1,
+        0,
     )
     if state is None:
         state = init_state(cfg)
