@@ -43,10 +43,7 @@ def main():
             mode="FM",
         )
         state = init_state(cfg)
-        iq_np = (
-            rng.standard_normal(cfg.block_frames)
-            + 1j * rng.standard_normal(cfg.block_frames)
-        ).astype(np.complex64)
+        iq_np = rng.standard_normal((2, cfg.block_frames)).astype(np.float32)
         iq = jax.device_put(jnp.asarray(iq_np), dev)
 
         # warmup / compile
