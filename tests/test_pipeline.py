@@ -147,7 +147,8 @@ def test_process_host_serving_path(rng):
     pipe = FrontEndPipeline(
         CFG, make_receiver_params(CFG, 100_000, 80_000, 8_000, "FM")
     )
-    audio, latest_db = pipe.process_host(np.ascontiguousarray(iq.T))
+    assert pipe.process_host(np.ascontiguousarray(iq.T)) is None  # priming
+    audio, latest_db = pipe.process_host_sync(np.ascontiguousarray(iq.T))
     assert audio.shape == (1, CFG.audio_frames)
     assert latest_db.shape == (CFG.fft_size,)
     assert np.isfinite(latest_db).any()

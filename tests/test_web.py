@@ -1,0 +1,309 @@
+"""HTTP surface tests against a hardware-free tuner (SURVEY §4).
+
+Spins up the full application (pipeline pump + HTTP server) on the tone
+tuner at reduced rates, then exercises every route of the reference API
+(src/main.cxx:92-106) plus the implemented receiver lifecycle extension.
+"""
+
+import http.client
+import json
+import time
+
+import numpy as np
+import pytest
+
+from webradio_tpu.app import RadioApp
+from webradio_tpu.radio import Radio
+from webradio_tpu.web.audiostream import AudioStreamManager
+from webradio_tpu.web.routes import UrlTree
+
+
+# ---------------------------------------------------------------- routing
+class TestUrlTree:
+    def make(self):
+        t = UrlTree()
+        t.register("", "root", None)
+        t.register("static/**", "file", None)
+        t.register("tuners", "tuners", None)
+        t.register("tuners/*", "tuner", None)
+        t.register("tuners/*/waterfall", "waterfall", None)
+        t.register("audio/*", "audio", None)
+        return t
+
+    def test_exact(self):
+        assert self.make().find("/tuners")[0] == "tuners"
+
+    def test_root(self):
+        assert self.make().find("/")[0] == "root"
+
+    def test_star_captures(self):
+        f, _, w = self.make().find("/tuners/0000")
+        assert f == "tuner" and w == ["0000"]
+
+    def test_nested_star(self):
+        f, _, w = self.make().find("/tuners/abcd/waterfall")
+        assert f == "waterfall" and w == ["abcd"]
+
+    def test_double_star_remainder(self):
+        f, _, w = self.make().find("/static/css/deep/file.css")
+        assert f == "file" and w == ["css/deep/file.css"]
+
+    def test_literal_beats_star(self):
+        t = self.make()
+        t.register("tuners/special", "special", None)
+        assert t.find("/tuners/special")[0] == "special"
+        assert t.find("/tuners/other")[0] == "tuner"
+
+    def test_no_match(self):
+        assert self.make().find("/nope") is None
+
+
+# ---------------------------------------------------------------- live app
+@pytest.fixture(scope="module")
+def app():
+    Radio.reset()
+    AudioStreamManager.reset()
+    config = {
+        "server": {"port": 0, "host": "127.0.0.1", "html": "html"},
+        "tuners": [
+            {
+                "driver": "tone",
+                "centre_frequency": 100_000_000,
+                "sample_rate": 256_000,
+                "channel_rate": 32_000,
+                "audio_rate": 8_000,
+                "block_frames": 8_192,
+                "capacity": 2,
+            }
+        ],
+        "receivers": [
+            {"tuner": 0, "if_frequency": 0, "demodulator": "AM"}
+        ],
+    }
+    a = RadioApp(config)
+    assert a.start()
+    # wait for the first processed block so the waterfall is live
+    deadline = time.time() + 30
+    while a.front_ends[0].block_count == 0 and time.time() < deadline:
+        time.sleep(0.05)
+    assert a.front_ends[0].block_count > 0, "pipeline never produced a block"
+    yield a
+    a.close()
+    AudioStreamManager.reset()
+
+
+def request(app, method, path, body=None):
+    conn = http.client.HTTPConnection("127.0.0.1", app.server.port, timeout=30)
+    headers = {"Content-Type": "application/json"} if body else {}
+    conn.request(method, path,
+                 body=json.dumps(body) if body is not None else None,
+                 headers=headers)
+    resp = conn.getresponse()
+    data = resp.read()
+    out = (resp.status, dict(resp.getheaders()), data)
+    conn.close()
+    return out
+
+
+def test_config(app):
+    status, headers, data = request(app, "GET", "/config")
+    assert status == 200
+    assert headers["Content-Type"] == "application/json"
+    root = json.loads(data)
+    assert root["version"] == "1.0"  # confighandler.cxx:46
+
+
+def test_cors_header(app):
+    _, headers, _ = request(app, "GET", "/config")
+    assert headers["Access-Control-Allow-Origin"] == "*"
+
+
+def test_root_redirect(app):
+    status, headers, _ = request(app, "GET", "/")
+    assert status == 302
+    assert headers["Location"].endswith("/static/ui.html")
+
+
+def test_tuner_list_and_single(app):
+    status, _, data = request(app, "GET", "/tuners")
+    assert status == 200
+    tuners = json.loads(data)
+    assert len(tuners) == 1
+    info = tuners[0]
+    # tunerhandler.cxx:70-83 schema
+    for key in ("uri", "name", "driver", "port", "serial_nr", "manufacturer",
+                "product", "sample_rate", "iq", "control", "peaks",
+                "receivers", "waterfall"):
+        assert key in info, key
+    assert info["iq"] == "true"
+    assert info["sample_rate"] == 256_000
+
+    status, _, data = request(app, "GET", info["uri"])
+    assert status == 200
+    assert json.loads(data) == info
+
+    status, _, _ = request(app, "GET", "/tuners/ffff")
+    assert status == 404
+
+
+def test_tuner_control_get_put(app):
+    uuid = app.front_ends[0].uuid
+    status, _, data = request(app, "GET", f"/tuners/{uuid}/control")
+    assert status == 200
+    ctl = json.loads(data)
+    # tunercontrolhandler.cxx:88-92 schema
+    assert set(ctl) == {"centre_frequency", "agc", "rf_gain", "if_gain",
+                        "offset"}
+
+    status, _, _ = request(app, "PUT", f"/tuners/{uuid}/control",
+                           {"centre_frequency": 101_000_000, "agc": False,
+                            "rf_gain": 12, "offset": -3})
+    assert status == 204
+    _, _, data = request(app, "GET", f"/tuners/{uuid}/control")
+    ctl = json.loads(data)
+    assert ctl["centre_frequency"] == 101_000_000
+    assert ctl["agc"] is False
+    assert ctl["rf_gain"] == 12
+    assert ctl["offset"] == -3
+
+
+def test_waterfall(app):
+    uuid = app.front_ends[0].uuid
+    status, _, data = request(app, "GET", f"/tuners/{uuid}/waterfall")
+    assert status == 200
+    root = json.loads(data)
+    # waterfallhandler.cxx:59-75 schema
+    assert set(root) == {"centre_frequency", "sample_rate", "data"}
+    assert len(root["data"]) == app.front_ends[0].cfg.fft_size
+    assert all(np.isfinite(v) for v in root["data"])
+
+
+def test_receiver_get_and_put(app):
+    status, _, data = request(app, "GET", "/receivers")
+    assert status == 200
+    rxs = json.loads(data)
+    assert len(rxs) >= 1
+    info = rxs[0]
+    # receiverhandler.cxx:113-120 schema
+    for key in ("uri", "tuner", "if_frequency", "if_bandwidth",
+                "af_bandwidth", "af_gain", "squelch_threshold",
+                "demodulator"):
+        assert key in info, key
+
+    uri = info["uri"]
+    status, _, _ = request(app, "PUT", uri,
+                           {"if_frequency": 10_000, "demodulator": "FM",
+                            "if_bandwidth": 40_000, "af_bandwidth": 4_000})
+    assert status == 204
+    _, _, data = request(app, "GET", uri)
+    updated = json.loads(data)
+    assert updated["if_frequency"] == 10_000
+    assert updated["demodulator"] == "FM"
+    assert updated["if_bandwidth"] == 40_000
+
+    status, _, _ = request(app, "PUT", uri, {"demodulator": "XXX"})
+    assert status == 400
+
+
+def test_receiver_lifecycle_post_delete(app):
+    """The reference declares POST/DELETE but 405s them
+    (receiverhandler.cxx:96-106); here they work."""
+    uuid = app.front_ends[0].uuid
+    status, headers, data = request(
+        app, "POST", "/receivers",
+        {"tuner": f"/tuners/{uuid}", "if_frequency": 25_000,
+         "demodulator": "USB"},
+    )
+    assert status == 201
+    created = json.loads(data)
+    assert created["demodulator"] == "USB"
+    assert headers["Location"].endswith(created["uri"])
+
+    # shows up in the list, filtered by tuner
+    _, _, data = request(app, "GET", f"/receivers?tuner_id={uuid}")
+    assert created["uri"] in [r["uri"] for r in json.loads(data)]
+
+    status, _, _ = request(app, "DELETE", created["uri"])
+    assert status == 204
+    status, _, _ = request(app, "GET", created["uri"])
+    assert status == 404
+
+
+def test_tuner_receivers_redirect(app):
+    uuid = app.front_ends[0].uuid
+    status, headers, _ = request(app, "GET", f"/tuners/{uuid}/receivers")
+    assert status == 302
+    assert headers["Location"].endswith(f"/receivers?tuner_id={uuid}")
+
+
+def test_audio_redirect(app):
+    rx = app.receivers[0]
+    status, headers, _ = request(app, "GET", f"/receivers/{rx.uuid}/audio.wav")
+    assert status == 302
+    assert headers["Location"].endswith(f"/audio/{rx.uuid}.wav")
+
+
+def test_405_has_allow_header(app):
+    status, headers, _ = request(app, "PUT", "/tuners")
+    assert status == 405
+    assert "GET" in headers["Allow"]
+
+
+def test_404_unknown_route(app):
+    status, _, _ = request(app, "GET", "/definitely/not/registered")
+    assert status == 404
+
+
+def test_audio_stream_wav(app):
+    """Stream live WAV audio: header + enough PCM for half a second."""
+    rx = app.receivers[0]
+    conn = http.client.HTTPConnection("127.0.0.1", app.server.port,
+                                      timeout=30)
+    conn.request("GET", f"/audio/{rx.uuid}.wav")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert resp.getheader("Content-Type") == "audio/wav"
+    want = 44 + 8_000  # RIFF header + 0.5 s of 16-bit 8 kHz mono
+    chunks = b""
+    while len(chunks) < want:
+        chunk = resp.read(4096)
+        if not chunk:
+            break
+        chunks += chunk
+    conn.close()
+    assert chunks[:4] == b"RIFF"
+    assert chunks[8:12] == b"WAVE"
+    assert len(chunks) >= want
+    # PCM should be non-silent (the tone tuner carries an AM carrier)
+    pcm = np.frombuffer(chunks[44:44 + (len(chunks) - 44) // 2 * 2],
+                        dtype="<i2")
+    assert np.abs(pcm).max() > 100
+
+
+def test_audio_stream_unknown_mountpoint(app):
+    status, _, _ = request(app, "GET", "/audio/ffff.wav")
+    assert status == 404
+
+
+def test_audio_stream_bad_extension(app):
+    rx = app.receivers[0]
+    status, _, _ = request(app, "GET", f"/audio/{rx.uuid}.xyz")
+    assert status == 404  # audiostream.cxx:151-158
+
+
+def test_static_files(app):
+    status, headers, data = request(app, "GET", "/static/ui.html")
+    assert status == 200
+    assert headers["Content-Type"] == "text/html"
+    assert b"webradio-tpu" in data
+    status, headers, _ = request(app, "GET", "/static/waterfall.js")
+    assert status == 200
+    assert headers["Content-Type"] == "text/javascript"
+    status, _, _ = request(app, "GET", "/static/no-such-file.html")
+    assert status == 404
+
+
+def test_static_traversal_blocked(app):
+    # filehandler.cxx:60-63 strips ".." occurrences
+    status, _, _ = request(app, "GET", "/static/../SURVEY.md")
+    assert status == 404

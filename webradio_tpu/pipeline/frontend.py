@@ -103,6 +103,7 @@ class FrontEndPipeline:
         self.cfg = cfg
         self.params = params
         self.state = init_state(cfg)
+        self._pending = None  # in-flight (audio, spectrum) device arrays
 
     def update_params(self, params: FrontEndParams) -> None:
         self.params = params
@@ -117,21 +118,41 @@ class FrontEndPipeline:
         return audio, spectra
 
     def process_host(self, iq_planes: np.ndarray):
-        """Host convenience for the live server: NumPy in, NumPy out.
+        """Live-server path: NumPy in, previous block's NumPy out.
 
-        Args:
-          iq_planes: ``[2, block_frames]`` float32.
-
-        Returns ``(audio, latest_db)`` as NumPy: ``[C, audio_frames]`` and
-        ``[fft_size]`` (ascending frequency, dB).
+        Dispatches this block asynchronously and fetches the *previous*
+        block's results, so host<->device transfer latency overlaps device
+        compute (one block of extra latency, ~cfg.block_seconds — well
+        inside the reference's 4-block ring tolerance,
+        rtlsdrtuner.cxx:33-34). Returns ``(audio, latest_db)`` NumPy
+        arrays, or ``None`` for the pipeline-priming first call.
         """
-        iq = jnp.asarray(iq_planes)
+        iq = jnp.asarray(iq_planes)  # async H2D
         self.state, audio, latest_db = frontend_step_serving(
             self.cfg, self.params, self.state, iq
-        )
-        return np.asarray(audio), np.asarray(latest_db)
+        )  # async dispatch
+        result = None
+        if self._pending is not None:
+            result = jax.device_get(self._pending)
+        self._pending = (audio, latest_db)
+        return result
+
+    def flush(self):
+        """Fetch the last in-flight block (end of stream / teardown)."""
+        result = None
+        if self._pending is not None:
+            result = jax.device_get(self._pending)
+            self._pending = None
+        return result
+
+    def process_host_sync(self, iq_planes: np.ndarray):
+        """Synchronous one-in one-out variant (offline/tests)."""
+        out = self.process_host(iq_planes)
+        tail = self.flush()
+        return tail if out is None else out
 
     def reset(self) -> None:
         from .state import init_state
 
         self.state = init_state(self.cfg)
+        self._pending = None

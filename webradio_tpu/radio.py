@@ -1,0 +1,303 @@
+"""Topology / session management: front-ends, receivers, the block pump.
+
+The reference models this as graph objects plus global registries
+(src/radio.{h,cxx}): a ``FrontEnd`` owns one tuner and a spectrum sink and a
+set of attached ``Receiver`` chains; ``Radio::run()`` pumps every tuner once
+per loop. Here a FrontEnd owns one *pipeline* (the fused jitted step) with a
+fixed channel capacity; Receivers are control-plane slot views whose settings
+compile into the step's parameter pytree. Attach/detach/retune never touch
+the device program — they rebuild parameters picked up at the next block
+boundary (the race-free analog of dspblock.cxx:57-91 live reconnection).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+
+import numpy as np
+
+from .io.ring import BlockRing, CaptureThread
+from .io.tuner import Tuner
+from .pipeline import ChainConfig, FrontEndPipeline, make_receiver_params
+from .ops.demod import MODES
+
+log = logging.getLogger(__name__)
+
+_uuid_lock = threading.Lock()
+_uuid_counters: dict[str, int] = {}
+
+
+def _next_uuid(kind: str) -> str:
+    """4-hex-digit counter-derived UUIDs like the reference
+    (radio.cxx:35-40), counted per kind so the first tuner AND the first
+    receiver are both "0000" (what the reference UI hardcodes)."""
+    with _uuid_lock:
+        n = _uuid_counters.get(kind, 0)
+        _uuid_counters[kind] = n + 1
+        return f"{n:04x}"
+
+
+class Receiver:
+    """One demodulation channel: a control-plane view of a pipeline slot.
+
+    Defaults mirror radio.cxx:78-82: 80 kHz channel passband @ 240 ksps,
+    8 kHz audio passband @ 48 ksps, AM.
+    """
+
+    def __init__(self):
+        self.uuid = _next_uuid("receiver")
+        self.if_frequency = 0
+        self.if_bandwidth = 80_000
+        self.af_bandwidth = 8_000
+        self.af_gain = 0  # surfaced but inert, like receiverhandler.cxx:119
+        self.squelch_threshold = 0
+        self.demodulator = "AM"
+        self.front_end: "FrontEnd | None" = None
+        Radio.receivers[self.uuid] = self
+
+    def set_front_end(self, fe: "FrontEnd | None") -> None:
+        if self.front_end is not None:
+            self.front_end._detach(self)
+        self.front_end = fe
+        if fe is not None:
+            fe._attach(self)
+
+    def set_mode_string(self, mode: str) -> bool:
+        if mode not in MODES:
+            return False
+        self.demodulator = mode
+        if self.front_end:
+            self.front_end.rebuild_params()
+        return True
+
+    def update(self, *, if_frequency=None, if_bandwidth=None,
+               af_bandwidth=None, demodulator=None) -> bool:
+        """Apply a control write (PUT /receivers/<id>,
+        receiverhandler.cxx:125-140). Returns False on bad demod mode."""
+        if if_frequency is not None:
+            self.if_frequency = int(if_frequency)
+        if if_bandwidth is not None:
+            self.if_bandwidth = int(if_bandwidth)
+        if af_bandwidth is not None:
+            self.af_bandwidth = int(af_bandwidth)
+        if demodulator is not None:
+            if demodulator not in MODES:
+                return False
+            self.demodulator = demodulator
+        if self.front_end:
+            self.front_end.rebuild_params()
+        return True
+
+    def close(self) -> None:
+        self.set_front_end(None)
+        Radio.receivers.pop(self.uuid, None)
+
+
+class FrontEnd:
+    """One tuner + spectrum + up to ``capacity`` receiver channels.
+
+    ``capacity`` is the compiled channel batch width; receivers occupy
+    slots, and empty slots run as muted AM channels at IF 0 (their audio is
+    simply never consumed). Growing past capacity triggers one recompile at
+    the doubled width.
+    """
+
+    def __init__(self, tuner: Tuner, cfg: ChainConfig | None = None,
+                 capacity: int = 4):
+        self.uuid = _next_uuid("frontend")
+        self.tuner = tuner
+        base = cfg or ChainConfig()
+        self.cfg = ChainConfig(**{**base.__dict__, "num_channels": capacity})
+        self._slots: list[Receiver | None] = [None] * capacity
+        self.pipeline: FrontEndPipeline | None = None
+        self.ring = BlockRing()
+        self._capture: CaptureThread | None = None
+        self.running = False
+        # latest spectrum dB row + serving state, guarded for HTTP readers
+        self._spec_lock = threading.Lock()
+        self._spectrum_db: np.ndarray | None = None
+        # profiling (SURVEY §5: ns/frame per block, Radio::profile analog)
+        self.block_count = 0
+        self.last_step_ns = 0
+        self.total_step_ns = 0
+        self.total_frames = 0
+        Radio.front_ends[self.uuid] = self
+
+    # ---- receiver slots -------------------------------------------
+    @property
+    def receivers(self) -> dict[str, Receiver]:
+        return {r.uuid: r for r in self._slots if r is not None}
+
+    def _attach(self, rx: Receiver) -> None:
+        for i, slot in enumerate(self._slots):
+            if slot is None:
+                self._slots[i] = rx
+                self.rebuild_params()
+                return
+        # grow: double capacity, recompile at next block
+        self._slots.extend([None] * len(self._slots))
+        self.cfg = ChainConfig(
+            **{**self.cfg.__dict__, "num_channels": len(self._slots)}
+        )
+        self.pipeline = None  # rebuilt lazily with the new width
+        self._slots[len(self._slots) // 2] = rx
+        self.rebuild_params()
+
+    def _detach(self, rx: Receiver) -> None:
+        for i, slot in enumerate(self._slots):
+            if slot is rx:
+                self._slots[i] = None
+        self.rebuild_params()
+
+    def slot_of(self, rx: Receiver) -> int:
+        return self._slots.index(rx)
+
+    # ---- parameters ------------------------------------------------
+    def rebuild_params(self) -> None:
+        """Compile control-plane settings into the step's parameter pytree
+        (picked up at the next block; no recompilation)."""
+        ifs, ifbw, afbw, modes = [], [], [], []
+        for slot in self._slots:
+            if slot is None:
+                ifs.append(0); ifbw.append(80_000)
+                afbw.append(8_000); modes.append("AM")
+            else:
+                ifs.append(slot.if_frequency)
+                ifbw.append(slot.if_bandwidth)
+                afbw.append(slot.af_bandwidth)
+                modes.append(slot.demodulator)
+        params = make_receiver_params(self.cfg, ifs, ifbw, afbw, modes)
+        if self.pipeline is None:
+            self.pipeline = FrontEndPipeline(self.cfg, params)
+        else:
+            self.pipeline.update_params(params)
+
+    # ---- lifecycle --------------------------------------------------
+    def start(self) -> bool:
+        if self.running:
+            return True
+        self.tuner.set_sample_rate(self.cfg.sample_rate)
+        self.tuner.set_block_frames(self.cfg.block_frames)
+        if not self.tuner.start():
+            log.error("front end %s: tuner failed to start", self.uuid)
+            return False
+        if self.pipeline is None:
+            self.rebuild_params()
+        # Warm the compile and the device->host path on a zero block BEFORE
+        # capture starts, so the live pipeline never eats first-call latency
+        # (on tunneled backends the first transfer alone can take >1 min).
+        log.info("front end %s: warming pipeline (compile + transfer)",
+                 self.uuid)
+        t0 = time.perf_counter()
+        warm = np.zeros((2, self.cfg.block_frames), np.float32)
+        self.pipeline.process_host_sync(warm)
+        self.pipeline.reset()
+        log.info("front end %s: pipeline warm in %.1fs", self.uuid,
+                 time.perf_counter() - t0)
+        self.ring = BlockRing()
+        self._capture = CaptureThread(self.tuner, self.ring)
+        self._capture.start()
+        self.running = True
+        return True
+
+    def stop(self) -> None:
+        if not self.running:
+            return
+        self.running = False
+        if self._capture:
+            self._capture.stop()
+        self.tuner.stop()
+        self.ring.close()
+
+    # ---- the block pump ---------------------------------------------
+    def run_once(self, timeout: float = 1.0) -> bool:
+        """Process one block: ingest -> step -> fan out audio/spectrum.
+
+        The reference blocks in ``RtlSdrTuner::process`` until the capture
+        ring has a block (rtlsdrtuner.cxx:265-285); same model here.
+        """
+        from .web.audiostream import AudioStreamManager
+
+        block = self.ring.get(timeout)
+        if block is None:
+            return False
+        t0 = time.perf_counter_ns()
+        # complex64 is interleaved (re, im) float32 in memory: reinterpret
+        # instead of computing .real/.imag copies
+        iq_planes = block.view(np.float32).reshape(-1, 2).T
+        out = self.pipeline.process_host(iq_planes)
+        self.last_step_ns = time.perf_counter_ns() - t0
+        self.total_step_ns += self.last_step_ns
+        self.block_count += 1
+        self.total_frames += self.cfg.block_frames
+
+        if out is None:
+            return True  # pipeline priming: results arrive next block
+        audio, spectra_db_latest = out
+
+        with self._spec_lock:
+            self._spectrum_db = spectra_db_latest
+
+        for i, rx in enumerate(self._slots):
+            if rx is not None:
+                AudioStreamManager.publish(
+                    rx.uuid, audio[i], self.cfg.audio_rate
+                )
+        return True
+
+    # ---- readers (HTTP threads) ---------------------------------------
+    def get_spectrum_db(self) -> np.ndarray:
+        """Latest dB spectrum, ascending frequency (spectrumsink.cxx:125)."""
+        with self._spec_lock:
+            if self._spectrum_db is None:
+                return np.full(self.cfg.fft_size, -10000.0, np.float32)
+            return self._spectrum_db.copy()
+
+    def profile_ns_per_frame(self) -> float:
+        if self.total_frames == 0:
+            return 0.0
+        return self.total_step_ns / self.total_frames
+
+    def close(self) -> None:
+        self.stop()
+        for rx in list(self.receivers.values()):
+            rx.close()
+        Radio.front_ends.pop(self.uuid, None)
+
+
+class Radio:
+    """Global registries + the cooperative pump (radio.cxx:32-60)."""
+
+    front_ends: dict[str, FrontEnd] = {}
+    receivers: dict[str, Receiver] = {}
+
+    @classmethod
+    def run(cls) -> None:
+        for fe in list(cls.front_ends.values()):
+            if fe.running:
+                fe.run_once()
+
+    @classmethod
+    def profile(cls) -> None:
+        for fe in cls.front_ends.values():
+            log.info(
+                "frontend %s: %.1f ns/frame (%.2fx realtime), %d blocks, "
+                "%d dropped",
+                fe.uuid,
+                fe.profile_ns_per_frame(),
+                (1e9 / fe.cfg.sample_rate) / max(fe.profile_ns_per_frame(), 1e-9),
+                fe.block_count,
+                fe.ring.dropped_blocks,
+            )
+
+    @classmethod
+    def reset(cls) -> None:
+        """Tear down everything (tests)."""
+        for fe in list(cls.front_ends.values()):
+            fe.close()
+        for rx in list(cls.receivers.values()):
+            rx.close()
+        cls.front_ends.clear()
+        cls.receivers.clear()

@@ -1,0 +1,152 @@
+"""Audio fan-out: pipeline thread -> per-client HTTP streams.
+
+The reference's ``AudioStreamManager`` is the terminal sink of each receiver
+chain: it owns one MP3 encoder per mountpoint (= receiver UUID) and pushes
+encoded bytes to every registered consumer through a non-blocking pipe,
+dropping blocks when a client can't keep up (src/web/audiostream.cxx:39-138).
+
+Here the pipeline side is :meth:`AudioStreamManager.publish` (called once per
+block per receiver from the block pump) and the client side is
+:class:`StreamConsumer`, a bounded byte-chunk queue the HTTP thread blocks
+on. Backpressure remains drop-with-log. Encoding happens at most once per
+(mountpoint, format) per block regardless of the consumer count.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+
+import numpy as np
+
+from .encoders import make_encoder
+
+log = logging.getLogger(__name__)
+
+# ~8 blocks of encoded audio per consumer before we start dropping — the
+# queue analog of the reference's 64 KiB pipe (audiostream.cxx:164-169).
+CONSUMER_DEPTH = 8
+
+
+class StreamConsumer:
+    """One client's stream: a bounded queue of encoded byte chunks."""
+
+    def __init__(self, mountpoint: str, fmt: str):
+        self.mountpoint = mountpoint
+        self.fmt = fmt
+        self._q: queue.Queue[bytes | None] = queue.Queue(CONSUMER_DEPTH)
+        self.dropped = 0
+
+    def push(self, data: bytes) -> None:
+        try:
+            self._q.put_nowait(data)
+        except queue.Full:
+            # A slow client loses audio, the pipeline never stalls
+            # (audiostream.cxx:135-137).
+            self.dropped += 1
+            log.warning(
+                "audio stream %s.%s: dropped block (%d total)",
+                self.mountpoint, self.fmt, self.dropped,
+            )
+
+    def read(self, timeout: float | None = None) -> bytes | None:
+        """Next chunk, or None at end-of-stream/timeout."""
+        try:
+            return self._q.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+    def close(self) -> None:
+        try:
+            self._q.put_nowait(None)
+        except queue.Full:
+            pass
+
+
+class _Mount:
+    """Per-mountpoint state: lazily created encoders + consumer list."""
+
+    def __init__(self, sample_rate: int):
+        self.sample_rate = sample_rate
+        self.encoders: dict[str, object] = {}
+        self.consumers: list[StreamConsumer] = []
+
+
+class AudioStreamManager:
+    """Global mountpoint registry (the reference's
+    ``AudioStreamManager::_streams`` map, audiostream.cxx:36-56)."""
+
+    _lock = threading.Lock()
+    _mounts: dict[str, _Mount] = {}
+
+    # ---- pipeline side -------------------------------------------------
+    @classmethod
+    def publish(cls, mountpoint: str, audio: np.ndarray, sample_rate: int) -> None:
+        """Encode and fan out one block of mono audio. No-op with zero
+        consumers (audiostream.cxx:67-68)."""
+        with cls._lock:
+            mount = cls._mounts.get(mountpoint)
+            if mount is None or not mount.consumers:
+                return
+            mount.sample_rate = sample_rate
+            by_fmt: dict[str, list[StreamConsumer]] = {}
+            for c in mount.consumers:
+                by_fmt.setdefault(c.fmt, []).append(c)
+            for fmt, consumers in by_fmt.items():
+                enc = mount.encoders.get(fmt)
+                if enc is None:
+                    enc = make_encoder(fmt, sample_rate)
+                    mount.encoders[fmt] = enc
+                data = enc.encode(audio)
+                if data:
+                    for c in consumers:
+                        c.push(data)
+
+    # ---- client side ---------------------------------------------------
+    @classmethod
+    def subscribe(cls, mountpoint: str, fmt: str, sample_rate: int) -> StreamConsumer:
+        """Register a client; raises KeyError for unsupported formats."""
+        # probe the format eagerly so a bad extension 404s before streaming
+        consumer = StreamConsumer(mountpoint, fmt)
+        with cls._lock:
+            mount = cls._mounts.get(mountpoint)
+            if mount is None:
+                mount = _Mount(sample_rate)
+                cls._mounts[mountpoint] = mount
+            if fmt not in mount.encoders:
+                mount.encoders[fmt] = make_encoder(fmt, mount.sample_rate)
+            header = mount.encoders[fmt].header()
+            if header:
+                consumer.push(header)
+            mount.consumers.append(consumer)
+        return consumer
+
+    @classmethod
+    def unsubscribe(cls, consumer: StreamConsumer) -> None:
+        with cls._lock:
+            mount = cls._mounts.get(consumer.mountpoint)
+            if mount is not None:
+                try:
+                    mount.consumers.remove(consumer)
+                except ValueError:
+                    pass
+        consumer.close()
+
+    @classmethod
+    def drop_mountpoint(cls, mountpoint: str) -> None:
+        """Receiver went away: end every client stream."""
+        with cls._lock:
+            mount = cls._mounts.pop(mountpoint, None)
+        if mount is not None:
+            for c in mount.consumers:
+                c.close()
+            for enc in mount.encoders.values():
+                enc.close()
+
+    @classmethod
+    def reset(cls) -> None:
+        with cls._lock:
+            mounts = list(cls._mounts)
+        for m in mounts:
+            cls.drop_mountpoint(m)
