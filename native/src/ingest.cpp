@@ -1,0 +1,257 @@
+// webradio-tpu native ingest runtime.
+//
+// The reference implements its capture path in C++: a USB async thread
+// converts u8 IQ to float and fills a 4-slot ring under a mutex+condvar,
+// dropping blocks on overrun (reference src/io/rtlsdrtuner.cxx:33-117,
+// 265-285).  This library provides the same runtime as a reusable native
+// core, driven from Python via ctypes:
+//
+//   * wr_ring_*   — fixed-block SPSC ring with drop-oldest overflow and
+//                   blocking pop (the pipeline pacing point);
+//   * wr_convert_u8_iq / wr_convert_planes — hot host-side conversions
+//     ((x - 128) / 128 like rtlsdrtuner.cxx:92-95, and complex interleave
+//     -> separate I/Q planes as the device program consumes them);
+//   * wr_rtltcp_* — an rtl_tcp network capture session: C++ reader thread
+//     pulls u8 frames off the socket, converts, and feeds a ring without
+//     touching the Python GIL.
+//
+// Build: see native/Makefile (plain C++17 + pthreads, no other deps).
+
+#include <atomic>
+#include <chrono>
+#include <condition_variable>
+#include <cstdint>
+#include <cstring>
+#include <deque>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+#include <arpa/inet.h>
+#include <netdb.h>
+#include <sys/socket.h>
+#include <unistd.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// conversions
+// ---------------------------------------------------------------------------
+
+// u8 interleaved IQ -> float32 planes: out_i[n] = (in[2n] - 128) / 128,
+// out_q[n] = (in[2n+1] - 128) / 128   (rtlsdrtuner.cxx:92-95 semantics,
+// deinterleaved straight into the [2, N] plane layout the device step takes).
+void wr_convert_u8_iq(const uint8_t* in, float* out_i, float* out_q,
+                      int64_t frames) {
+  static float lut[256];
+  static std::atomic<bool> lut_ready{false};
+  if (!lut_ready.load(std::memory_order_acquire)) {
+    for (int v = 0; v < 256; ++v) lut[v] = (float)(v - 128) / 128.0f;
+    lut_ready.store(true, std::memory_order_release);
+  }
+  for (int64_t n = 0; n < frames; ++n) {
+    out_i[n] = lut[in[2 * n]];
+    out_q[n] = lut[in[2 * n + 1]];
+  }
+}
+
+// complex64 interleaved (re, im) -> float32 planes.
+void wr_convert_planes(const float* interleaved, float* out_i, float* out_q,
+                       int64_t frames) {
+  for (int64_t n = 0; n < frames; ++n) {
+    out_i[n] = interleaved[2 * n];
+    out_q[n] = interleaved[2 * n + 1];
+  }
+}
+
+// ---------------------------------------------------------------------------
+// block ring
+// ---------------------------------------------------------------------------
+
+struct WrRing {
+  explicit WrRing(int64_t block_floats, int depth)
+      : block_floats(block_floats), depth(depth) {}
+
+  int64_t block_floats;
+  int depth;
+  std::deque<std::vector<float>> q;
+  std::vector<std::vector<float>> free_list;
+  std::mutex mu;
+  std::condition_variable ready;
+  std::atomic<bool> closed{false};
+  std::atomic<int64_t> dropped{0};
+  std::atomic<int64_t> total{0};
+
+  std::vector<float> take_buffer() {
+    if (!free_list.empty()) {
+      auto b = std::move(free_list.back());
+      free_list.pop_back();
+      return b;
+    }
+    return std::vector<float>((size_t)block_floats);
+  }
+};
+
+void* wr_ring_new(int64_t block_floats, int depth) {
+  return new WrRing(block_floats, depth);
+}
+
+void wr_ring_free(void* ring) { delete static_cast<WrRing*>(ring); }
+
+// Producer: copy one block in; drop-oldest when full (rtlsdrtuner.cxx:99-102).
+void wr_ring_push(void* ring, const float* data) {
+  auto* r = static_cast<WrRing*>(ring);
+  std::lock_guard<std::mutex> lk(r->mu);
+  auto buf = r->take_buffer();
+  std::memcpy(buf.data(), data, (size_t)r->block_floats * sizeof(float));
+  if ((int)r->q.size() >= r->depth) {
+    r->free_list.emplace_back(std::move(r->q.front()));
+    r->q.pop_front();
+    r->dropped.fetch_add(1, std::memory_order_relaxed);
+  }
+  r->q.emplace_back(std::move(buf));
+  r->total.fetch_add(1, std::memory_order_relaxed);
+  r->ready.notify_one();
+}
+
+// Consumer: blocking pop into caller storage. Returns 1 on success, 0 on
+// timeout/closed-and-empty. timeout_ms < 0 waits forever.
+int wr_ring_pop(void* ring, float* out, int64_t timeout_ms) {
+  auto* r = static_cast<WrRing*>(ring);
+  std::unique_lock<std::mutex> lk(r->mu);
+  auto pred = [&] { return !r->q.empty() || r->closed.load(); };
+  if (timeout_ms < 0) {
+    r->ready.wait(lk, pred);
+  } else if (!r->ready.wait_for(lk, std::chrono::milliseconds(timeout_ms),
+                                pred)) {
+    return 0;
+  }
+  if (r->q.empty()) return 0;  // closed
+  auto buf = std::move(r->q.front());
+  r->q.pop_front();
+  std::memcpy(out, buf.data(), (size_t)r->block_floats * sizeof(float));
+  r->free_list.emplace_back(std::move(buf));
+  return 1;
+}
+
+void wr_ring_close(void* ring) {
+  auto* r = static_cast<WrRing*>(ring);
+  r->closed.store(true);
+  r->ready.notify_all();
+}
+
+int64_t wr_ring_dropped(void* ring) {
+  return static_cast<WrRing*>(ring)->dropped.load();
+}
+
+int64_t wr_ring_total(void* ring) {
+  return static_cast<WrRing*>(ring)->total.load();
+}
+
+int64_t wr_ring_depth_now(void* ring) {
+  auto* r = static_cast<WrRing*>(ring);
+  std::lock_guard<std::mutex> lk(r->mu);
+  return (int64_t)r->q.size();
+}
+
+// ---------------------------------------------------------------------------
+// rtl_tcp capture session (socket reader thread in C++)
+// ---------------------------------------------------------------------------
+
+struct WrRtlTcp {
+  int fd = -1;
+  int64_t frames_per_block = 0;
+  WrRing* ring = nullptr;  // owned
+  std::thread reader;
+  std::atomic<bool> stop{false};
+
+  ~WrRtlTcp() {
+    stop.store(true);
+    if (fd >= 0) ::shutdown(fd, SHUT_RDWR);
+    if (reader.joinable()) reader.join();
+    if (fd >= 0) ::close(fd);
+    delete ring;
+  }
+};
+
+static bool read_exact(int fd, uint8_t* buf, size_t n,
+                       const std::atomic<bool>& stop) {
+  size_t got = 0;
+  while (got < n && !stop.load(std::memory_order_relaxed)) {
+    ssize_t r = ::recv(fd, buf + got, n - got, 0);
+    if (r <= 0) return false;
+    got += (size_t)r;
+  }
+  return got == n;
+}
+
+// Connect to an rtl_tcp server. Returns a session handle or null.
+void* wr_rtltcp_open(const char* host, int port, int64_t frames_per_block,
+                     int ring_depth) {
+  struct addrinfo hints = {};
+  hints.ai_family = AF_UNSPEC;
+  hints.ai_socktype = SOCK_STREAM;
+  struct addrinfo* res = nullptr;
+  char portstr[16];
+  snprintf(portstr, sizeof portstr, "%d", port);
+  if (getaddrinfo(host, portstr, &hints, &res) != 0 || !res) return nullptr;
+  int fd = ::socket(res->ai_family, res->ai_socktype, res->ai_protocol);
+  if (fd < 0 || ::connect(fd, res->ai_addr, res->ai_addrlen) != 0) {
+    if (fd >= 0) ::close(fd);
+    freeaddrinfo(res);
+    return nullptr;
+  }
+  freeaddrinfo(res);
+
+  uint8_t hdr[12];
+  std::atomic<bool> no_stop{false};
+  if (!read_exact(fd, hdr, sizeof hdr, no_stop) ||
+      std::memcmp(hdr, "RTL0", 4) != 0) {
+    ::close(fd);
+    return nullptr;
+  }
+
+  auto* s = new WrRtlTcp;
+  s->fd = fd;
+  s->frames_per_block = frames_per_block;
+  s->ring = new WrRing(2 * frames_per_block, ring_depth);
+  s->reader = std::thread([s] {
+    std::vector<uint8_t> raw((size_t)2 * s->frames_per_block);
+    std::vector<float> planes((size_t)2 * s->frames_per_block);
+    while (!s->stop.load(std::memory_order_relaxed)) {
+      if (!read_exact(s->fd, raw.data(), raw.size(), s->stop)) break;
+      wr_convert_u8_iq(raw.data(), planes.data(),
+                       planes.data() + s->frames_per_block,
+                       s->frames_per_block);
+      wr_ring_push(s->ring, planes.data());
+    }
+    wr_ring_close(s->ring);
+  });
+  return s;
+}
+
+// Standard rtl_tcp command: 1-byte opcode + u32 big-endian argument.
+int wr_rtltcp_command(void* session, uint8_t op, uint32_t arg) {
+  auto* s = static_cast<WrRtlTcp*>(session);
+  uint8_t msg[5];
+  msg[0] = op;
+  uint32_t be = htonl(arg);
+  std::memcpy(msg + 1, &be, 4);
+  return ::send(s->fd, msg, sizeof msg, MSG_NOSIGNAL) == (ssize_t)sizeof msg
+             ? 0
+             : -1;
+}
+
+// Pop one converted [2, frames] plane block. 1 = ok, 0 = timeout/ended.
+int wr_rtltcp_pop(void* session, float* out, int64_t timeout_ms) {
+  auto* s = static_cast<WrRtlTcp*>(session);
+  return wr_ring_pop(s->ring, out, timeout_ms);
+}
+
+int64_t wr_rtltcp_dropped(void* session) {
+  return static_cast<WrRtlTcp*>(session)->ring->dropped.load();
+}
+
+void wr_rtltcp_close(void* session) { delete static_cast<WrRtlTcp*>(session); }
+
+}  // extern "C"

@@ -1,0 +1,193 @@
+"""Polyphase filterbank channelizer: math, parity with the direct path,
+block-size invariance, and op-surface cleanliness."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from webradio_tpu.ops.channelizer import (
+    assign_bins,
+    bin_weights,
+    design_prototype,
+    one_hot_select,
+    pfb_channelize,
+    select_bins,
+)
+from webradio_tpu.pipeline import ChainConfig, init_state, make_receiver_params
+from webradio_tpu.pipeline.frontend import frontend_step
+from webradio_tpu.pipeline.channelized import (
+    ChannelizedConfig,
+    channelized_step,
+    init_channelized_state,
+    make_channelized_params,
+)
+
+FS, D, N = 2_400_000, 10, 102_400
+
+
+def planes(z):
+    return jnp.asarray(np.stack([z.real, z.imag]).astype(np.float32))
+
+
+def tone(f, n=N, fs=FS, fm_audio=None, fm_dev=5_000.0):
+    t = np.arange(n) / fs
+    if fm_audio:
+        phase = 2 * np.pi * f * t - fm_dev / fm_audio * np.cos(
+            2 * np.pi * fm_audio * t
+        )
+        return np.exp(1j * phase).astype(np.complex64)
+    return np.exp(1j * 2 * np.pi * f * t).astype(np.complex64)
+
+
+@pytest.fixture(scope="module")
+def proto_weights():
+    proto = design_prototype(FS, D)
+    return jnp.asarray(bin_weights(proto, D))
+
+
+class TestPfb:
+    def test_on_grid_tone_lands_in_its_bin_at_dc(self, proto_weights):
+        hist = jnp.zeros((2, proto_weights.shape[0] - 1), jnp.float32)
+        for b in (0, 1, 3, 7, 9):
+            x = planes(tone(b * FS // D))
+            bins, _ = pfb_channelize(x, proto_weights, D, hist)
+            bins = np.asarray(bins)
+            power = (bins[0] ** 2 + bins[1] ** 2).mean(axis=-1)
+            assert power.argmax() == b
+            # adjacent-bin rejection of the prototype
+            others = np.delete(power, b)
+            assert power[b] > 100 * others.max()
+            z = bins[0, b] + 1j * bins[1, b]
+            dphi = np.angle(z[100:] * np.conj(z[99:-1])).mean()
+            assert abs(dphi / (2 * np.pi) * FS / D) < 1.0  # ~DC
+
+    def test_negative_if_aliases_to_high_bin(self, proto_weights):
+        hist = jnp.zeros((2, proto_weights.shape[0] - 1), jnp.float32)
+        x = planes(tone(-FS // D))  # -240 kHz == bin D-1
+        bins, _ = pfb_channelize(x, proto_weights, D, hist)
+        bins = np.asarray(bins)
+        power = (bins[0] ** 2 + bins[1] ** 2).mean(axis=-1)
+        assert power.argmax() == D - 1
+
+    def test_block_invariance_bit_exact(self, proto_weights):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, N)).astype(np.float32))
+        hist = jnp.zeros((2, proto_weights.shape[0] - 1), jnp.float32)
+        full, _ = pfb_channelize(x, proto_weights, D, hist)
+        h = hist
+        parts = []
+        for piece in jnp.split(x, 4, axis=-1):
+            y, h = pfb_channelize(piece, proto_weights, D, h)
+            parts.append(y)
+        split = jnp.concatenate(parts, axis=-1)
+        assert jnp.array_equal(full, split)
+
+    def test_assign_bins_residuals(self):
+        idx, res = assign_bins([0, 480_000, 500_000, -115_000], FS, D)
+        np.testing.assert_array_equal(idx, [0, 2, 2, 0])
+        np.testing.assert_array_equal(res, [0, 0, 20_000, -115_000])
+
+    def test_one_hot_select_routes_bins(self, proto_weights):
+        hist = jnp.zeros((2, proto_weights.shape[0] - 1), jnp.float32)
+        x = planes(tone(3 * FS // D))
+        bins, _ = pfb_channelize(x, proto_weights, D, hist)
+        sel = jnp.asarray(one_hot_select(D, np.array([3, 0])))
+        ch = np.asarray(select_bins(bins, sel))
+        assert ch.shape == (2, 2, N // D)
+        p3 = (ch[0, 0] ** 2 + ch[1, 0] ** 2).mean()
+        p0 = (ch[0, 1] ** 2 + ch[1, 1] ** 2).mean()
+        assert p3 > 100 * p0
+
+
+class TestChannelizedStep:
+    def _audio_tone_hz(self, audio, rate):
+        x = np.asarray(audio, np.float64)
+        x = x - x.mean()
+        mag = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+        f = np.fft.rfftfreq(len(x), 1 / rate)
+        lo = np.searchsorted(f, 100)
+        return f[lo + mag[lo:].argmax()]
+
+    def test_fm_receiver_recovers_audio_off_grid(self):
+        """An off-grid NBFM carrier demodulates to its audio tone through
+        the full channelized chain (bin select + residual shift)."""
+        cfg = ChannelizedConfig(num_channels=2)
+        carrier, audio_hz = 500_000, 1_500.0
+        params = make_channelized_params(
+            cfg, [carrier, 0], 80_000, 8_000, ["FM", "AM"]
+        )
+        state = init_channelized_state(cfg)
+        z = tone(carrier, fm_audio=audio_hz)
+        outs = []
+        for piece in np.split(z, 4):
+            state, audio, _ = channelized_step(cfg, params, state, planes(piece))
+            outs.append(np.asarray(audio))
+        audio = np.concatenate(outs, axis=-1)[0]
+        got = self._audio_tone_hz(audio[cfg.audio_frames // 2:], cfg.audio_rate)
+        assert abs(got - audio_hz) < 20, got
+
+    def test_matches_direct_path_on_grid(self):
+        """On a bin-centre IF the channelized chain and the reference-shaped
+        direct chain demodulate the same signal to the same audio tone."""
+        carrier, audio_hz = 480_000, 1_000.0
+        z = tone(carrier, fm_audio=audio_hz)
+
+        ccfg = ChannelizedConfig(num_channels=1)
+        cparams = make_channelized_params(ccfg, carrier, 80_000, 8_000, "FM")
+        cstate = init_channelized_state(ccfg)
+        cstate, caudio, _ = channelized_step(ccfg, cparams, cstate, planes(z))
+
+        dcfg = ChainConfig(num_channels=1)
+        dparams = make_receiver_params(dcfg, carrier, 80_000, 8_000, "FM")
+        dstate = init_state(dcfg)
+        dstate, daudio, _ = frontend_step(dcfg, dparams, dstate, planes(z))
+
+        half = ccfg.audio_frames // 2
+        got_c = self._audio_tone_hz(np.asarray(caudio)[0][half:], ccfg.audio_rate)
+        got_d = self._audio_tone_hz(np.asarray(daudio)[0][half:], dcfg.audio_rate)
+        assert abs(got_c - audio_hz) < 20
+        assert abs(got_d - audio_hz) < 20
+
+    def test_block_invariance(self):
+        cfg = ChannelizedConfig(num_channels=3)
+        params = make_channelized_params(
+            cfg, [0, 500_000, -250_000], 80_000, 8_000, ["AM", "FM", "USB"]
+        )
+        rng = np.random.default_rng(2)
+        z = (rng.standard_normal(2 * N) + 1j * rng.standard_normal(2 * N)).astype(
+            np.complex64
+        )
+        s1 = init_channelized_state(cfg)
+        s1, a_full_1, _ = channelized_step(cfg, params, s1, planes(z[:N]))
+        s1, a_full_2, _ = channelized_step(cfg, params, s1, planes(z[N:]))
+        full = np.concatenate([a_full_1, a_full_2], axis=-1)
+
+        cfg_h = ChannelizedConfig(num_channels=3, block_frames=N // 2)
+        s2 = init_channelized_state(cfg_h)
+        parts = []
+        for i in range(4):
+            s2, a, _ = channelized_step(
+                cfg_h, params, s2, planes(z[i * N // 2 : (i + 1) * N // 2])
+            )
+            parts.append(np.asarray(a))
+        split = np.concatenate(parts, axis=-1)
+        np.testing.assert_allclose(full, split, atol=1e-5)
+
+    def test_op_surface_clean(self):
+        """The channelized step must stay inside the restricted TPU op
+        surface (no fft/conv/gather/scatter/atan2/complex/dynamic-slice)."""
+        cfg = ChannelizedConfig(num_channels=8, block_frames=12_800)
+        params = make_channelized_params(
+            cfg, [i * 7_000 for i in range(8)], 80_000, 8_000, "FM"
+        )
+        state = init_channelized_state(cfg)
+        iq = jnp.zeros((2, cfg.block_frames), jnp.float32)
+        hlo = jax.jit(
+            lambda p, s, x: channelized_step(cfg, p, s, x)
+        ).lower(params, state, iq).as_text()
+        forbidden = ("stablehlo.fft", "stablehlo.convolution", "stablehlo.gather",
+                     "stablehlo.scatter", "stablehlo.atan2", "complex<",
+                     "stablehlo.dynamic_slice")
+        hits = [op for op in forbidden if op in hlo]
+        assert not hits, hits

@@ -166,12 +166,29 @@ class _RtlTcpSource(SampleSource):
         return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
 
 
+class _NativeRtlTcpSource(SampleSource):
+    """Native-backed rtl_tcp source: the socket reader and the u8 -> float
+    plane conversion run in a C++ thread (native/src/ingest.cpp), so blocks
+    arrive GIL-free as ready-to-ship ``[2, N]`` float32 planes."""
+
+    def __init__(self, session):
+        super().__init__()
+        self._session = session
+
+    def read_block(self):
+        return self._session.pop(timeout=5.0)
+
+
 class RtlTcpTuner(Tuner):
     """RTL-SDR over the rtl_tcp wire protocol (host[:port] subdevice).
 
     Commands are the standard single-byte opcodes + u32 big-endian argument:
     0x01 set frequency, 0x02 set sample rate, 0x03 tuner gain mode,
     0x04 tuner gain (tenths of dB), 0x05 ppm, 0x08 RTL AGC.
+
+    When the native ingest library is built, capture runs through
+    :class:`webradio_tpu.io.native.NativeRtlTcp` (C++ reader thread);
+    otherwise a pure-Python socket reader with identical semantics.
     """
 
     driver = "rtltcp"
@@ -187,15 +204,45 @@ class RtlTcpTuner(Tuner):
         host, _, port = subdevice.partition(":")
         self._addr = (host or "127.0.0.1", int(port or 1234))
         self._sock: socket.socket | None = None
+        self._native = None
         super().__init__(RandSource(), name="RTL-SDR (rtl_tcp)")
         self.product = "rtl_tcp"
         self.serial = subdevice
 
     def _cmd(self, op: int, arg: int) -> None:
-        if self._sock is not None:
+        if self._native is not None:
+            self._native.command(op, arg)
+        elif self._sock is not None:
             self._sock.sendall(struct.pack(">BI", op, arg & 0xFFFFFFFF))
 
+    def _push_settings(self) -> None:
+        """Push cached control state on connect, as the reference does on
+        init (rtlsdrtuner.cxx:226-235)."""
+        self._cmd(self.CMD_RATE, self.source.sample_rate)
+        self._cmd(self.CMD_FREQ, self._centre_frequency)
+        self._cmd(self.CMD_PPM, self._offset_ppm)
+        self._cmd(self.CMD_AGC, 1 if self._agc else 0)
+        self._cmd(self.CMD_GAIN_MODE, 0 if self._agc else 1)
+        if not self._agc:
+            self._cmd(self.CMD_GAIN, self._gain_db * 10)
+
     def start(self) -> bool:
+        from . import native as native_mod
+
+        if native_mod.available():
+            old = self.source
+            try:
+                session = native_mod.NativeRtlTcp(
+                    self._addr[0], self._addr[1], old.block_frames
+                )
+            except (ConnectionError, OSError, RuntimeError):
+                return False
+            self._native = session
+            self.source = _NativeRtlTcpSource(session)
+            self.source.sample_rate = old.sample_rate
+            self.source.block_frames = old.block_frames
+            self._push_settings()
+            return self.source.start()
         try:
             self._sock = socket.create_connection(self._addr, timeout=5.0)
         except OSError:
@@ -210,19 +257,14 @@ class RtlTcpTuner(Tuner):
         self.source = _RtlTcpSource(self._sock)
         self.source.sample_rate = old.sample_rate
         self.source.block_frames = old.block_frames
-        # push cached settings, as the reference does on init
-        # (rtlsdrtuner.cxx:226-235)
-        self._cmd(self.CMD_RATE, self.source.sample_rate)
-        self._cmd(self.CMD_FREQ, self._centre_frequency)
-        self._cmd(self.CMD_PPM, self._offset_ppm)
-        self._cmd(self.CMD_AGC, 1 if self._agc else 0)
-        self._cmd(self.CMD_GAIN_MODE, 0 if self._agc else 1)
-        if not self._agc:
-            self._cmd(self.CMD_GAIN, self._gain_db * 10)
+        self._push_settings()
         return self.source.start()
 
     def stop(self) -> None:
         super().stop()
+        if self._native is not None:
+            self._native.close()
+            self._native = None
         if self._sock is not None:
             self._sock.close()
             self._sock = None

@@ -1,0 +1,186 @@
+"""Polyphase DFT-filterbank channelizer — the many-channel path.
+
+The reference scales receivers by running one NCO + 64-tap FIR chain per
+receiver over the full-rate stream, sequentially (src/radio.cxx:151-156,
+dspblock.cxx:206-209). That is O(C * K * fs) work at the wideband rate, and
+worse, it materializes per-channel full-rate intermediates. This module
+replaces the wideband stage with a shared polyphase filterbank:
+
+    x [fs]  --PFB-->  D uniform bins [fs / D each]  --select+fine-shift-->
+    C channels at fs / D
+
+For bin ``c`` the filterbank computes *exactly* the reference's
+mix-filter-decimate (downconverter.cxx:91-114 + lowpass.cxx:131-162) with
+LO frequency ``c * fs / D`` and the prototype filter:
+
+    y_c[m] = sum_k h[k] * x[m*D - k] * e^{-j 2 pi c (m*D - k) / D}
+           = sum_k (h[k] e^{+j 2 pi c k / D}) * x[m*D - k]
+
+i.e. one shared set of delayed input frames combined with per-bin complex
+weights ``h[k] W^{ck}``. Since ``e^{-j 2 pi c m D / D} = 1``, every bin's
+LO is phase-aligned at every output sample — the filterbank carries **no
+phase state**, only the ``K_p - 1`` input-sample history.
+
+TPU mapping: the delayed frames form an im2col tensor ``F [nd, K_p]``
+(``K_p`` static strided slices — no gather, no conv op) and all bins are
+one MXU matmul ``F @ B`` with ``B [K_p, 2 D]`` holding the cos/sin parts of
+``h[k] W^{ck}``. Arbitrary receiver IFs are then served by selecting the
+nearest bin with a one-hot matmul (``[C, D] @ [D, nd]`` — again MXU, no
+gather) and applying a *residual* NCO shift at the decimated rate — the
+expensive wideband mixing is shared across all C receivers.
+
+Cost per input sample (vs per-channel direct form): ``K_p / D`` shared MACs
++ ``2 D / D`` matmul MACs + ``O(C / D)`` fine-shift work, versus
+``C * (8 + 2 K)``. At C = 1000, D = 10 this is ~3 orders of magnitude less
+wideband-rate work.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def design_prototype(
+    fs_hz: int, num_bins: int, taps_per_phase: int = 16
+) -> np.ndarray:
+    """Windowed-sinc prototype lowpass for a ``num_bins``-band filterbank.
+
+    Cutoff at ``fs / (2 * num_bins)`` (the bin edge), length
+    ``num_bins * taps_per_phase``, Hamming window, unit DC gain. This is a
+    real filter design, not the reference's degenerate brick-wall/IDFT
+    (lowpass.cxx:164-197, which collapses to a bare Hamming window at stock
+    settings); the filterbank is a new capability without a reference
+    analog to mirror.
+    """
+    kp = int(num_bins) * int(taps_per_phase)
+    n = np.arange(kp, dtype=np.float64) - (kp - 1) / 2.0
+    fc = 0.5 / num_bins  # normalized single-sided cutoff
+    h = 2 * fc * np.sinc(2 * fc * n)
+    w = 0.54 - 0.46 * np.cos(2 * np.pi * np.arange(kp) / (kp - 1))
+    h = h * w
+    return (h / h.sum()).astype(np.float32)
+
+
+def bin_weights(proto: np.ndarray, num_bins: int) -> np.ndarray:
+    """Combined prototype-times-DFT weight matrix ``B [K_p, 2 D]``.
+
+    Columns ``0..D-1`` hold ``h[k] cos(2 pi c k / D)``, columns ``D..2D-1``
+    hold ``h[k] sin(2 pi c k / D)`` — the real/imaginary parts of
+    ``h[k] W^{+ck}`` used by the bin equation in the module docstring.
+    (Contiguous halves, not interleaved: the consumer splits them with
+    plain slices, which the restricted backend lowers without a gather.)
+    """
+    kp = proto.shape[0]
+    d = int(num_bins)
+    k = np.arange(kp)[:, None]
+    c = np.arange(d)[None, :]
+    ang = 2.0 * np.pi * (k * c % d) / d
+    b = np.empty((kp, 2 * d), np.float32)
+    b[:, :d] = proto[:, None] * np.cos(ang)
+    b[:, d:] = proto[:, None] * np.sin(ang)
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("num_bins",))
+def pfb_channelize(
+    x: jax.Array,
+    weights: jax.Array,
+    num_bins: int,
+    history: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Channelize ``[2, N]`` wideband IQ planes into ``[2, D, N // D]`` bins.
+
+    Args:
+      x: ``[2, N]`` float32 IQ planes at the wideband rate; ``N % D == 0``.
+      weights: ``[K_p, 2 D]`` from :func:`bin_weights`.
+      num_bins: ``D``, the decimation factor and bin count.
+      history: ``[2, K_p - 1]`` float32 — previous input tail (zeros for a
+        fresh stream). The only filterbank state.
+
+    Returns ``(bins, new_history)`` with ``bins [2, D, nd]`` float32 at
+    rate ``fs / D``, bin ``c`` centred at ``+c * fs / D`` (bins above
+    ``D / 2`` alias to negative frequencies, as usual).
+
+    The mixed output for bin c is ``(i + j q)(cos - j sin)`` of the
+    weighted sum, matching the conjugate-LO mixer convention of
+    downconverter.cxx:105-110.
+    """
+    d = int(num_bins)
+    kp = weights.shape[0]
+    n = x.shape[-1]
+    if n % d:
+        raise ValueError("block length must be a multiple of num_bins")
+    nd = n // d
+
+    xext = jnp.concatenate([history, x], axis=-1)  # [2, N + K_p - 1]
+
+    # im2col: F[., m, k] = xext[., (K_p - 1) + m D - k]
+    # -> static strided slice per tap k, starting at (K_p - 1 - k)
+    span = (nd - 1) * d + 1
+    frames = [
+        lax.slice_in_dim(xext, kp - 1 - k, kp - 1 - k + span, stride=d, axis=-1)
+        for k in range(kp)
+    ]
+    f = jnp.stack(frames, axis=-1)  # [2, nd, K_p]
+
+    # all bins at once on the MXU: [2, nd, K_p] @ [K_p, 2D]
+    y = jax.lax.dot_general(
+        f,
+        weights,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [2, nd, 2D]
+
+    i_in, q_in = y[0], y[1]
+    cos_part_i = i_in[:, :d]  # sum_k h cos(phi_k) i_k
+    sin_part_i = i_in[:, d:]  # sum_k h sin(phi_k) i_k
+    cos_part_q = q_in[:, :d]
+    sin_part_q = q_in[:, d:]
+    # y_c = sum_k h (i + j q)(cos phi + j sin phi), phi = 2 pi c k / D
+    # (the conjugate-LO e^{-j 2 pi c (mD - k)/D} collapses to e^{+j phi}
+    # because e^{-j 2 pi c m} = 1 at every retained output sample)
+    bins_i = cos_part_i - sin_part_q
+    bins_q = cos_part_q + sin_part_i
+    bins = jnp.stack([bins_i, bins_q]).transpose(0, 2, 1)  # [2, D, nd]
+
+    new_history = x[..., n - (kp - 1):]
+    return bins, new_history
+
+
+def assign_bins(if_hz, fs_hz: int, num_bins: int):
+    """Nearest-bin assignment for arbitrary IFs.
+
+    Returns ``(bin_idx [C] int32, residual_hz [C] int64)`` with
+    ``if = bin * fs / D + residual`` and ``|residual| <= fs / (2 D)``.
+    Negative IFs map to the aliased high bins (bin index mod D).
+    """
+    ifs = np.atleast_1d(np.asarray(if_hz, dtype=np.int64))
+    spacing = fs_hz / num_bins
+    nearest = np.round(ifs / spacing).astype(np.int64)
+    residual = ifs - (nearest * fs_hz) // num_bins
+    return (nearest % num_bins).astype(np.int32), residual
+
+
+def one_hot_select(num_bins: int, bin_idx: np.ndarray) -> np.ndarray:
+    """``[C, D]`` float32 selection matrix (gather-free bin pick:
+    ``sel @ bins`` on the MXU)."""
+    c = len(bin_idx)
+    m = np.zeros((c, num_bins), np.float32)
+    m[np.arange(c), bin_idx] = 1.0
+    return m
+
+
+@jax.jit
+def select_bins(bins: jax.Array, selector: jax.Array) -> jax.Array:
+    """Route bins to channels: ``[2, D, nd] x [C, D] -> [2, C, nd]``."""
+    return jax.lax.dot_general(
+        selector,
+        bins,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).transpose(1, 0, 2)

@@ -1,0 +1,219 @@
+"""Channelized front-end: shared polyphase filterbank + per-channel tail.
+
+The scalable many-channel alternative to
+:func:`webradio_tpu.pipeline.frontend.frontend_step` (which runs one NCO +
+full-rate FIR per receiver — the reference topology, radio.cxx:68-76,
+vectorized). Here the wideband work is shared:
+
+  1. spectrum FFT on the raw block (unchanged);
+  2. polyphase DFT filterbank -> D uniform bins at ``fs / D``
+     (:mod:`webradio_tpu.ops.channelizer`);
+  3. per receiver: nearest-bin select (one-hot matmul), residual NCO shift
+     at the decimated rate, passband-shaping FIR, demodulation, audio FIR —
+     all at ``fs / D`` or below.
+
+Per-channel wideband-rate cost drops from ``O(K * fs)`` to ``O(fs / D)``
+(the selection matmul row), which is what makes >=1000 concurrent receivers
+per chip reachable (BASELINE north star). Control updates (IF retune,
+passband, mode) remain parameter-only: the filterbank weights depend only
+on static config, and a retune just rewrites the selector row, residual
+step, and FIR coefficients host-side.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ops
+from ..ops.channelizer import (
+    assign_bins,
+    bin_weights,
+    design_prototype,
+    one_hot_select,
+    pfb_channelize,
+    select_bins,
+)
+from ..ops.demod import MODES
+from ..ops.firdesign import FIR_LENGTH, design_lowpass_fir
+from ..ops.nco import nco_phase_step
+from ..ops.spectrum import DEFAULT_FFT_SIZE
+import functools
+
+
+@dataclasses.dataclass(frozen=True)
+class ChannelizedConfig:
+    """Static shape of a channelized front-end."""
+
+    sample_rate: int = 2_400_000
+    channel_rate: int = 240_000
+    audio_rate: int = 48_000
+    block_frames: int = 102_400
+    num_channels: int = 1
+    taps_per_phase: int = 16
+    fir_length: int = FIR_LENGTH
+    fft_size: int = DEFAULT_FFT_SIZE
+
+    def __post_init__(self):
+        if self.sample_rate % self.channel_rate:
+            raise ValueError("sample_rate must be a multiple of channel_rate")
+        if self.channel_rate % self.audio_rate:
+            raise ValueError("channel_rate must be a multiple of audio_rate")
+        if self.block_frames % self.fft_size:
+            raise ValueError("block_frames must be a multiple of fft_size")
+        if self.block_frames % (self.num_bins * self.audio_decim):
+            raise ValueError(
+                "block_frames must be a multiple of num_bins * audio_decim"
+            )
+
+    @property
+    def num_bins(self) -> int:
+        return self.sample_rate // self.channel_rate
+
+    @property
+    def audio_decim(self) -> int:
+        return self.channel_rate // self.audio_rate
+
+    @property
+    def proto_taps(self) -> int:
+        return self.num_bins * self.taps_per_phase
+
+    @property
+    def chan_frames(self) -> int:
+        return self.block_frames // self.num_bins
+
+    @property
+    def audio_frames(self) -> int:
+        return self.chan_frames // self.audio_decim
+
+    @property
+    def block_seconds(self) -> float:
+        return self.block_frames / self.sample_rate
+
+
+class ChannelizedParams(NamedTuple):
+    pfb_weights: jnp.ndarray  # [K_p, 2 D] float32
+    selector: jnp.ndarray  # [C, D] float32 one-hot
+    residual_step: jnp.ndarray  # [C] uint32 (at channel rate)
+    chan_coeff: jnp.ndarray  # [C, K] float32 (decim-1 shaping FIR)
+    audio_coeff: jnp.ndarray  # [C, K] float32
+    mode: jnp.ndarray  # [C] int32
+
+
+class ChannelizedState(NamedTuple):
+    pfb_hist: jnp.ndarray  # [2, K_p - 1] float32
+    nco_phase: jnp.ndarray  # [C] uint32 (residual, at channel rate)
+    chan_hist: jnp.ndarray  # [2, C, K - 1] float32
+    demod_prev: jnp.ndarray  # [2, C] float32
+    audio_hist: jnp.ndarray  # [C, K - 1] float32
+
+
+def make_channelized_params(
+    cfg: ChannelizedConfig,
+    if_hz,
+    if_bandwidth_hz,
+    af_bandwidth_hz,
+    mode,
+) -> ChannelizedParams:
+    """Build parameters from per-receiver control values (scalar or
+    length-``num_channels`` sequences)."""
+    c = cfg.num_channels
+
+    def expand(v):
+        return list(v) if hasattr(v, "__len__") and not isinstance(v, str) else [v] * c
+
+    ifs = expand(if_hz)
+    ifbws = expand(if_bandwidth_hz)
+    afbws = expand(af_bandwidth_hz)
+    modes = expand(mode)
+    if not (len(ifs) == len(ifbws) == len(afbws) == len(modes) == c):
+        raise ValueError("parameter lists must match num_channels")
+
+    proto = design_prototype(cfg.sample_rate, cfg.num_bins, cfg.taps_per_phase)
+    weights = bin_weights(proto, cfg.num_bins)
+    bin_idx, residual = assign_bins(ifs, cfg.sample_rate, cfg.num_bins)
+    selector = one_hot_select(cfg.num_bins, bin_idx)
+    steps = np.array(
+        [nco_phase_step(int(r), cfg.channel_rate) for r in residual],
+        dtype=np.uint32,
+    )
+    chan = np.stack(
+        [design_lowpass_fir(bw, cfg.channel_rate, cfg.fir_length)
+         for bw in ifbws]
+    )
+    audio = np.stack(
+        [design_lowpass_fir(bw, cfg.channel_rate, cfg.fir_length)
+         for bw in afbws]
+    )
+    mode_idx = np.array(
+        [MODES.index(m) if isinstance(m, str) else int(m) for m in modes],
+        dtype=np.int32,
+    )
+    return ChannelizedParams(
+        pfb_weights=jnp.asarray(weights),
+        selector=jnp.asarray(selector),
+        residual_step=jnp.asarray(steps),
+        chan_coeff=jnp.asarray(chan),
+        audio_coeff=jnp.asarray(audio),
+        mode=jnp.asarray(mode_idx),
+    )
+
+
+def init_channelized_state(cfg: ChannelizedConfig) -> ChannelizedState:
+    c, k, kp = cfg.num_channels, cfg.fir_length, cfg.proto_taps
+    return ChannelizedState(
+        pfb_hist=jnp.zeros((2, kp - 1), jnp.float32),
+        nco_phase=jnp.zeros(c, jnp.uint32),
+        chan_hist=jnp.zeros((2, c, k - 1), jnp.float32),
+        demod_prev=jnp.zeros((2, c), jnp.float32),
+        audio_hist=jnp.zeros((c, k - 1), jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def channelized_step(
+    cfg: ChannelizedConfig,
+    params: ChannelizedParams,
+    state: ChannelizedState,
+    iq: jax.Array,
+) -> tuple[ChannelizedState, jax.Array, jax.Array]:
+    """One block through spectrum + filterbank + every receiver tail.
+
+    Args/returns mirror :func:`frontend_step`: ``iq [2, block_frames]``
+    float32 in; ``(state, audio [C, audio_frames], spectra
+    [2, blocks, fft_size])`` out.
+    """
+    spectra = ops.spectrum_accumulate(iq, cfg.fft_size)
+
+    bins, pfb_hist = pfb_channelize(
+        iq, params.pfb_weights, cfg.num_bins, state.pfb_hist
+    )
+    chan_in = select_bins(bins, params.selector)  # [2, C, nd]
+
+    mixed = ops.nco_mix(chan_in, state.nco_phase, params.residual_step)
+    nco_phase = ops.nco_advance(
+        state.nco_phase, params.residual_step, cfg.chan_frames
+    )
+
+    shaped, chan_hist = ops.fir_decimate(
+        mixed, params.chan_coeff, 1, state.chan_hist
+    )
+
+    audio_if, demod_prev = ops.demodulate(shaped, params.mode, state.demod_prev)
+
+    audio, audio_hist = ops.fir_decimate(
+        audio_if, params.audio_coeff, cfg.audio_decim, state.audio_hist
+    )
+
+    new_state = ChannelizedState(
+        pfb_hist=pfb_hist,
+        nco_phase=nco_phase,
+        chan_hist=chan_hist,
+        demod_prev=demod_prev,
+        audio_hist=audio_hist,
+    )
+    return new_state, audio, spectra

@@ -25,6 +25,23 @@ from .ops.demod import MODES
 
 log = logging.getLogger(__name__)
 
+
+def _to_planes(block: np.ndarray) -> np.ndarray:
+    """Sample block -> contiguous float32 [2, N] planes.
+
+    Sources may deliver complex64 [N] (Python drivers) or ready-made
+    [2, N] float32 planes (native capture paths, which convert off-GIL in
+    C++ — native/src/ingest.cpp). Complex input converts through the native
+    deinterleaver when built, else NumPy."""
+    if block.ndim == 2:
+        return np.ascontiguousarray(block, np.float32)
+    from .io import native
+
+    if native.available():
+        return native.convert_planes(block)
+    # complex64 is interleaved (re, im) float32 in memory
+    return np.ascontiguousarray(block.view(np.float32).reshape(-1, 2).T)
+
 _uuid_lock = threading.Lock()
 _uuid_counters: dict[str, int] = {}
 
@@ -224,9 +241,7 @@ class FrontEnd:
         if block is None:
             return False
         t0 = time.perf_counter_ns()
-        # complex64 is interleaved (re, im) float32 in memory: reinterpret
-        # instead of computing .real/.imag copies
-        iq_planes = block.view(np.float32).reshape(-1, 2).T
+        iq_planes = _to_planes(block)
         out = self.pipeline.process_host(iq_planes)
         self.last_step_ns = time.perf_counter_ns() - t0
         self.total_step_ns += self.last_step_ns
