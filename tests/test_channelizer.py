@@ -191,3 +191,53 @@ class TestChannelizedStep:
                      "stablehlo.dynamic_slice")
         hits = [op for op in forbidden if op in hlo]
         assert not hits, hits
+
+
+class TestShardedChannelized:
+    def test_matches_single_chip(self):
+        """(time=2, chan=4) mesh reproduces the single-chip channelized
+        step within float tolerance, across two carried blocks."""
+        from webradio_tpu.parallel import make_mesh
+        from webradio_tpu.parallel.sharded_channelized import (
+            ShardedChannelizedFrontEnd,
+        )
+
+        cfg = ChannelizedConfig(
+            sample_rate=1_024_000,
+            channel_rate=128_000,
+            audio_rate=32_000,
+            block_frames=16_384,
+            num_channels=8,
+        )
+        params = make_channelized_params(
+            cfg,
+            [i * 11_000 - 40_000 for i in range(8)],
+            80_000,
+            8_000,
+            ["FM", "AM", "USB", "LSB"] * 2,
+        )
+        rng = np.random.default_rng(7)
+        blocks = [
+            jnp.asarray(rng.standard_normal((2, cfg.block_frames))
+                        .astype(np.float32))
+            for _ in range(2)
+        ]
+
+        ref_state = init_channelized_state(cfg)
+        ref_out = []
+        for b in blocks:
+            ref_state, audio, spectra = channelized_step(
+                cfg, params, ref_state, b
+            )
+            ref_out.append((np.asarray(audio), np.asarray(spectra)))
+
+        mesh = make_mesh(2, 4)
+        fe = ShardedChannelizedFrontEnd(cfg, params, mesh)
+        for b, (ref_audio, ref_spectra) in zip(blocks, ref_out):
+            audio, spectra = fe.process(b)
+            np.testing.assert_allclose(
+                np.asarray(audio), ref_audio, atol=2e-4
+            )
+            np.testing.assert_allclose(
+                np.asarray(spectra), ref_spectra, atol=2e-3
+            )

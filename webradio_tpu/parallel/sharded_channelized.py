@@ -1,0 +1,177 @@
+"""shard_map'd channelized front-end: filterbank + channels over a mesh.
+
+Combines the scalable compute shape (polyphase filterbank,
+webradio_tpu/ops/channelizer.py) with the mesh layout of
+:mod:`webradio_tpu.parallel.sharded`:
+
+* ``chan`` axis — receivers are pure data-parallel: selector rows, residual
+  steps, FIR banks, demod state all shard; no collectives. Every chan shard
+  evaluates the (cheap, shared) filterbank on its local time slice rather
+  than broadcasting bins — the PFB is O(K_p / D + D) MACs per input sample,
+  so recomputation costs less than the all-gather it would replace.
+* ``time`` axis — the wideband block shards in time; left-neighbor halos
+  move by one ``lax.ppermute`` each, exactly the carries the single-chip
+  step keeps between blocks (SURVEY §5):
+
+  - ``K_p - 1`` raw input samples (filterbank history),
+  - ``K - 1`` selected+mixed channel-rate samples (shaping-FIR history),
+  - one channel-rate sample (FM discriminator),
+  - ``K - 1`` demodulated samples (audio-FIR history).
+
+  The residual NCO needs no communication: its phase at a shard boundary
+  is closed-form ``(phase0 + shard_start * step) mod 2^31``.
+
+Block-level carries for the next block are taken from the last time shard
+with a masked ``psum`` (replicated), mirroring ``sharded.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .. import ops
+from ..ops.channelizer import pfb_channelize, select_bins
+from ..pipeline.channelized import (
+    ChannelizedConfig,
+    ChannelizedParams,
+    ChannelizedState,
+)
+from .sharded import _from_last, _right_perm
+
+
+def _shard_body(cfg: ChannelizedConfig, t_shards: int, params, state, iq_local):
+    tidx = lax.axis_index("time")
+    n_local = cfg.block_frames // t_shards
+    nd_local = n_local // cfg.num_bins
+    k = cfg.fir_length
+    kp = cfg.proto_taps
+    perm = _right_perm(t_shards)
+
+    spectra = ops.spectrum_accumulate(iq_local, cfg.fft_size)
+
+    # ---- filterbank: raw-input history halo
+    iq_halo = lax.ppermute(iq_local[:, iq_local.shape[-1] - (kp - 1):],
+                           "time", perm)
+    pfb_hist = jnp.where(tidx == 0, state.pfb_hist, iq_halo)
+    bins, pfb_hist_local = pfb_channelize(
+        iq_local, params.pfb_weights, cfg.num_bins, pfb_hist
+    )
+    new_pfb_hist = _from_last(pfb_hist_local, tidx, t_shards)
+
+    chan_in = select_bins(bins, params.selector)  # [2, C_local, nd_local]
+
+    # ---- residual NCO: closed-form start phase per shard
+    shard_start = (tidx * nd_local).astype(jnp.uint32)
+    phase_here = (
+        state.nco_phase + shard_start * params.residual_step
+    ) & jnp.uint32(ops.nco.PHASE_MASK)
+    mixed = ops.nco_mix(chan_in, phase_here, params.residual_step)
+    new_phase = ops.nco_advance(
+        state.nco_phase, params.residual_step, cfg.chan_frames
+    )
+
+    # ---- shaping FIR (decim 1): channel-rate history halo
+    chan_halo = lax.ppermute(mixed[:, :, mixed.shape[-1] - (k - 1):],
+                             "time", perm)
+    chan_hist = jnp.where(tidx == 0, state.chan_hist, chan_halo)
+    shaped, chan_hist_local = ops.fir_decimate(
+        mixed, params.chan_coeff, 1, chan_hist
+    )
+    new_chan_hist = _from_last(chan_hist_local, tidx, t_shards)
+
+    # ---- demod: previous-sample halo
+    prev_halo = lax.ppermute(shaped[:, :, shaped.shape[-1] - 1], "time", perm)
+    prev = jnp.where(tidx == 0, state.demod_prev, prev_halo)
+    audio_if, demod_prev_local = ops.demodulate(shaped, params.mode, prev)
+    new_demod_prev = _from_last(demod_prev_local, tidx, t_shards)
+
+    # ---- audio FIR: history halo
+    audio_halo = lax.ppermute(
+        audio_if[:, audio_if.shape[-1] - (k - 1):], "time", perm
+    )
+    audio_hist = jnp.where(tidx == 0, state.audio_hist, audio_halo)
+    audio, audio_hist_local = ops.fir_decimate(
+        audio_if, params.audio_coeff, cfg.audio_decim, audio_hist
+    )
+    new_audio_hist = _from_last(audio_hist_local, tidx, t_shards)
+
+    new_state = ChannelizedState(
+        pfb_hist=new_pfb_hist,
+        nco_phase=new_phase,
+        chan_hist=new_chan_hist,
+        demod_prev=new_demod_prev,
+        audio_hist=new_audio_hist,
+    )
+    return new_state, audio, spectra
+
+
+def sharded_channelized_step(cfg: ChannelizedConfig, mesh: Mesh):
+    """Build the jitted sharded channelized step for a mesh.
+
+    ``step(params, state, iq) -> (state, audio, spectra)`` with ``iq``
+    ``[2, block_frames]`` sharded over ``time``, audio ``[C, audio_frames]``
+    sharded ``(chan, time)``.
+    """
+    t_shards = mesh.shape["time"]
+    c_shards = mesh.shape["chan"]
+    if cfg.block_frames % (t_shards * cfg.fft_size):
+        raise ValueError("time shards must hold whole FFT groups")
+    n_local = cfg.block_frames // t_shards
+    if n_local % (cfg.num_bins * cfg.audio_decim):
+        raise ValueError("time shards must hold whole decimation groups")
+    if n_local < cfg.proto_taps:
+        raise ValueError("time shards shorter than the filterbank halo")
+    if cfg.num_channels % c_shards:
+        raise ValueError("num_channels must divide over chan shards")
+
+    params_spec = ChannelizedParams(
+        pfb_weights=P(None, None),  # shared filterbank, replicated
+        selector=P("chan", None),
+        residual_step=P("chan"),
+        chan_coeff=P("chan", None),
+        audio_coeff=P("chan", None),
+        mode=P("chan"),
+    )
+    state_spec = ChannelizedState(
+        pfb_hist=P(None, None),  # tiny, replicated
+        nco_phase=P("chan"),
+        chan_hist=P(None, "chan", None),
+        demod_prev=P(None, "chan"),
+        audio_hist=P("chan", None),
+    )
+
+    body = functools.partial(_shard_body, cfg, t_shards)
+    smapped = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(params_spec, state_spec, P(None, "time")),
+        out_specs=(state_spec, P("chan", "time"), P(None, "time", None)),
+        check_vma=False,
+    )
+    return jax.jit(smapped, donate_argnums=(1,))
+
+
+class ShardedChannelizedFrontEnd:
+    """Mesh-aware counterpart of the channelized pipeline."""
+
+    def __init__(self, cfg: ChannelizedConfig, params: ChannelizedParams,
+                 mesh: Mesh):
+        from ..pipeline.channelized import init_channelized_state
+
+        self.cfg = cfg
+        self.mesh = mesh
+        self.params = params
+        self.state = init_channelized_state(cfg)
+        self._step = sharded_channelized_step(cfg, mesh)
+
+    def update_params(self, params: ChannelizedParams) -> None:
+        self.params = params
+
+    def process(self, iq: jax.Array):
+        self.state, audio, spectra = self._step(self.params, self.state, iq)
+        return audio, spectra
