@@ -307,3 +307,55 @@ def test_static_traversal_blocked(app):
     # filehandler.cxx:60-63 strips ".." occurrences
     status, _, _ = request(app, "GET", "/static/../SURVEY.md")
     assert status == 404
+
+
+def test_status_endpoint(app):
+    status, _, data = request(app, "GET", "/status")
+    assert status == 200
+    root = json.loads(data)
+    assert set(root) >= {"front_ends", "receivers", "streams"}
+    fe = root["front_ends"][app.front_ends[0].uuid]
+    assert fe["running"] is True
+    assert fe["blocks"] > 0
+    assert fe["ns_per_frame"] > 0
+    assert fe["realtime_factor"] is not None
+    assert fe["sample_rate"] == 256_000
+
+
+def test_checkpoint_snapshot_and_merge(tmp_path):
+    from webradio_tpu.app import _merge_state, DEFAULT_CONFIG
+
+    saved = {
+        "tuners": [{"centre_frequency": 98_700_000, "agc": False,
+                    "rf_gain": 20, "offset_ppm": -1}],
+        "receivers": [
+            {"tuner": 0, "if_frequency": 123_000, "if_bandwidth": 40_000,
+             "af_bandwidth": 4_000, "demodulator": "FM"},
+            {"tuner": 0, "if_frequency": -50_000, "demodulator": "LSB"},
+        ],
+    }
+    merged = _merge_state(DEFAULT_CONFIG, saved)
+    assert merged["tuners"][0]["centre_frequency"] == 98_700_000
+    assert merged["tuners"][0]["agc"] is False
+    assert len(merged["receivers"]) == 2
+    assert merged["receivers"][0]["demodulator"] == "FM"
+    assert merged["receivers"][1]["if_frequency"] == -50_000
+    # untouched topology keys survive
+    assert merged["tuners"][0]["driver"] == DEFAULT_CONFIG["tuners"][0]["driver"]
+
+
+def test_checkpoint_roundtrip(app, tmp_path):
+    """snapshot() -> file -> _merge_state reproduces the live settings."""
+    from webradio_tpu.app import _merge_state
+
+    app.state_file = tmp_path / "state.json"
+    app.front_ends[0].tuner.set_centre_frequency(102_500_000)
+    app.receivers[0].update(if_frequency=42_000, demodulator="USB")
+    app.checkpoint_if_changed()
+    assert app.state_file.exists()
+    saved = json.loads(app.state_file.read_text())
+    merged = _merge_state(app.config, saved)
+    assert merged["tuners"][0]["centre_frequency"] == 102_500_000
+    rx = [r for r in merged["receivers"] if r["if_frequency"] == 42_000]
+    assert rx and rx[0]["demodulator"] == "USB"
+    app.state_file = None

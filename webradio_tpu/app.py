@@ -26,6 +26,7 @@ from .web.handlers import (
     FileHandler,
     RedirectHandler,
     ReceiverHandler,
+    StatusHandler,
     TunerControlHandler,
     TunerHandler,
     WaterfallHandler,
@@ -69,16 +70,97 @@ def load_config(path: str | pathlib.Path | None) -> dict:
     return json.loads(pathlib.Path(path).read_text())
 
 
+def _merge_state(config: dict, saved: dict) -> dict:
+    """Overlay a checkpoint (RadioApp.snapshot schema) onto a topology
+    config: control values merge positionally into tuner entries, and the
+    receiver list is replaced wholesale (receivers are dynamic)."""
+    config = json.loads(json.dumps(config))
+    for i, st in enumerate(saved.get("tuners", [])):
+        if i < len(config.get("tuners", [])):
+            for key in ("centre_frequency", "agc", "rf_gain", "offset_ppm"):
+                if key in st:
+                    config["tuners"][i][key] = st[key]
+    if saved.get("receivers"):
+        config["receivers"] = [
+            {
+                "tuner": r.get("tuner", 0),
+                "if_frequency": r.get("if_frequency", 0),
+                "if_bandwidth": r.get("if_bandwidth", 80_000),
+                "af_bandwidth": r.get("af_bandwidth", 8_000),
+                "demodulator": r.get("demodulator", "AM"),
+            }
+            for r in saved["receivers"]
+        ]
+    return config
+
+
 class RadioApp:
     """Owns the Radio topology, HTTP server, and the block-pump thread."""
 
-    def __init__(self, config: dict | None = None):
+    def __init__(self, config: dict | None = None,
+                 state_file: str | pathlib.Path | None = None):
         self.config = config or load_config(None)
+        self.state_file = pathlib.Path(state_file) if state_file else None
         self.server: RadioHttpServer | None = None
         self._pump: threading.Thread | None = None
         self._stop = threading.Event()
         self.front_ends: list[FrontEnd] = []
         self.receivers: list[Receiver] = []
+        self._last_snapshot: str | None = None
+        if self.state_file and self.state_file.exists():
+            try:
+                saved = json.loads(self.state_file.read_text())
+                self.config = _merge_state(self.config, saved)
+                log.info("restored control state from %s", self.state_file)
+            except (OSError, ValueError, KeyError) as e:
+                log.warning("state restore failed (%s); using config", e)
+
+    # ---- checkpoint / resume ------------------------------------------
+    # The reference persists nothing: every restart replays main.cxx's
+    # hardcoded defaults (SURVEY §5). Here the live control state (tuning,
+    # gains, per-receiver settings) checkpoints to a JSON file, written
+    # from the pump loop whenever it changes and merged over the topology
+    # config on boot.
+    def snapshot(self) -> dict:
+        tuners = []
+        for fe in self.front_ends:
+            t = fe.tuner
+            tuners.append(
+                {
+                    "uuid": fe.uuid,
+                    "centre_frequency": t.centre_frequency,
+                    "agc": t.agc,
+                    "rf_gain": t.gain_db,
+                    "offset_ppm": t.offset_ppm,
+                }
+            )
+        receivers = []
+        for rx in Radio.receivers.values():
+            receivers.append(
+                {
+                    "uuid": rx.uuid,
+                    "tuner": (self.front_ends.index(rx.front_end)
+                              if rx.front_end in self.front_ends else 0),
+                    "if_frequency": rx.if_frequency,
+                    "if_bandwidth": rx.if_bandwidth,
+                    "af_bandwidth": rx.af_bandwidth,
+                    "demodulator": rx.demodulator,
+                }
+            )
+        return {"tuners": tuners, "receivers": receivers}
+
+    def checkpoint_if_changed(self) -> None:
+        if self.state_file is None:
+            return
+        snap = json.dumps(self.snapshot(), indent=1, sort_keys=True)
+        if snap != self._last_snapshot:
+            tmp = self.state_file.with_suffix(".tmp")
+            try:
+                tmp.write_text(snap)
+                tmp.replace(self.state_file)  # atomic
+                self._last_snapshot = snap
+            except OSError as e:
+                log.warning("checkpoint failed: %s", e)
 
     # ---- topology ------------------------------------------------------
     def build(self) -> None:
@@ -119,6 +201,7 @@ class RadioApp:
         srv.register_handler("static/**", FileHandler, html)
         srv.register_handler("audio/*", AudioStreamHandler)
         srv.register_handler("config", ConfigHandler)
+        srv.register_handler("status", StatusHandler)
         srv.register_handler("tuners", TunerHandler)
         srv.register_handler("tuners/*", TunerHandler)
         srv.register_handler("tuners/*/control", TunerControlHandler)
@@ -169,6 +252,7 @@ class RadioApp:
             now = time.monotonic()
             if now - last_profile >= 5.0:
                 Radio.profile()
+                self.checkpoint_if_changed()
                 last_profile = now
 
     def stop(self) -> None:
@@ -206,6 +290,9 @@ def main(argv=None) -> int:
     parser.add_argument("--platform", default=None,
                         help="force a JAX backend (tpu|cpu); must win over "
                              "site-level JAX_PLATFORMS overrides")
+    parser.add_argument("--state-file", default=None,
+                        help="checkpoint live control state (tuning, "
+                             "receivers) here and restore it on restart")
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -236,7 +323,7 @@ def main(argv=None) -> int:
     if args.subdevice is not None:
         config["tuners"][0]["subdevice"] = args.subdevice
 
-    app = RadioApp(config)
+    app = RadioApp(config, state_file=args.state_file)
     if not app.start():
         return 1
 

@@ -145,6 +145,19 @@ class AudioStreamManager:
                 enc.close()
 
     @classmethod
+    def stats(cls) -> dict:
+        """Per-mountpoint stream stats for the /status endpoint."""
+        with cls._lock:
+            return {
+                name: {
+                    "consumers": len(m.consumers),
+                    "formats": sorted(m.encoders),
+                    "dropped": sum(c.dropped for c in m.consumers),
+                }
+                for name, m in cls._mounts.items()
+            }
+
+    @classmethod
     def reset(cls) -> None:
         with cls._lock:
             mounts = list(cls._mounts)

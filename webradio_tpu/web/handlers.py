@@ -84,6 +84,52 @@ class HttpRequestHandler:
         return HTTP_OK
 
 
+class StatusHandler(HttpRequestHandler):
+    """GET /status — structured runtime metrics.
+
+    A superset of the reference's stderr profile log (Radio::profile,
+    radio.cxx:51-54; ns-per-frame definition dspblock.cxx:93-104): per
+    front-end block counters and real-time factor, ingest-ring drops, and
+    per-mountpoint stream fan-out. No reference analog (SURVEY §5 lists
+    observability as a gap to close)."""
+
+    def do_get(self, wildcards, body) -> int:
+        import time as _time
+
+        from .audiostream import AudioStreamManager
+
+        fes = {}
+        for uuid, fe in Radio.front_ends.items():
+            nspf = fe.profile_ns_per_frame()
+            budget = 1e9 / fe.cfg.sample_rate
+            fes[uuid] = {
+                "running": fe.running,
+                "blocks": fe.block_count,
+                "dropped_blocks": fe.ring.dropped_blocks,
+                "ns_per_frame": round(nspf, 1),
+                "realtime_factor": round(budget / nspf, 2) if nspf else None,
+                "last_step_ms": round(fe.last_step_ns / 1e6, 2),
+                "sample_rate": fe.cfg.sample_rate,
+                "channel_capacity": fe.cfg.num_channels,
+                "receivers": sorted(fe.receivers),
+            }
+        return self.send_json(
+            {
+                "server_time": _time.time(),
+                "front_ends": fes,
+                "receivers": {
+                    uuid: {
+                        "front_end": rx.front_end.uuid if rx.front_end else None,
+                        "demodulator": rx.demodulator,
+                        "if_frequency": rx.if_frequency,
+                    }
+                    for uuid, rx in Radio.receivers.items()
+                },
+                "streams": AudioStreamManager.stats(),
+            }
+        )
+
+
 class ConfigHandler(HttpRequestHandler):
     """GET /config — static stub, field-compatible with
     confighandler.cxx:41-55."""
