@@ -124,3 +124,29 @@ def test_rtltcp_native_session_end_to_end():
         tuner.stop()
     finally:
         srv.close()
+
+
+class TestSoundcard:
+    def test_pulse_gated(self):
+        from webradio_tpu.io import soundcard
+
+        # image has no sound stack: the driver must gate, not crash
+        if not soundcard.pulse_available():
+            with pytest.raises(RuntimeError):
+                soundcard.PulseAudioSink()
+
+    def test_file_sink_wav_roundtrip(self, tmp_path):
+        from webradio_tpu.io.soundcard import FileAudioSink
+
+        p = tmp_path / "out.wav"
+        sink = FileAudioSink(p, sample_rate=8_000)
+        t = np.arange(8_000) / 8_000
+        sink.write(np.sin(2 * np.pi * 440 * t).astype(np.float32))
+        sink.close()
+        raw = p.read_bytes()
+        assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+        pcm = np.frombuffer(raw[44:], "<i2").astype(np.float32) / 32767
+        assert len(pcm) == 8_000
+        f = np.fft.rfftfreq(len(pcm), 1 / 8_000)
+        peak = f[np.abs(np.fft.rfft(pcm)).argmax()]
+        assert abs(peak - 440) < 2

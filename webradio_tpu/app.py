@@ -245,8 +245,16 @@ class RadioApp:
         while not self._stop.is_set():
             any_block = False
             for fe in list(Radio.front_ends.values()):
-                if fe.running and fe.run_once(timeout=0.25):
-                    any_block = True
+                try:
+                    if fe.running and fe.run_once(timeout=0.25):
+                        any_block = True
+                except Exception:
+                    # The reference logs "Pipeline failed at block" and
+                    # keeps pumping (dspblock.cxx:192-195; Radio::run
+                    # ignores the return, radio.cxx:56-59). Same policy:
+                    # a bad block must not kill the radio.
+                    log.exception("front end %s: block failed", fe.uuid)
+                    time.sleep(0.1)
             if not any_block:
                 time.sleep(0.01)
             now = time.monotonic()

@@ -1,0 +1,168 @@
+"""Local soundcard audio I/O (the reference's PulseAudio layer, gated).
+
+The reference ships `PulseAudioSource`/`PulseAudioSink` over the blocking
+"simple" API at FLOAT32LE (src/io/pulseaudio.cxx:39-42,60-92,113-152),
+compiled in but unused by ``main()`` (the server streams over HTTP
+instead). Equivalent here:
+
+* :class:`PulseAudioSink` / :class:`PulseAudioSource` — ctypes bindings to
+  ``libpulse-simple`` with the same format and blocking semantics; gated on
+  the library's presence (``pulse_available()``), since server deployments
+  (and this build image) have no sound stack.
+* :class:`FileAudioSink` — always available: stream PCM (or WAV) to a
+  path or FIFO, the headless stand-in used by tests and recordings.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import pathlib
+import struct
+
+import numpy as np
+
+_PA_STREAM_PLAYBACK = 1
+_PA_STREAM_RECORD = 2
+_PA_SAMPLE_FLOAT32LE = 5  # pulseaudio.cxx:39 FLOAT32LE
+
+
+def _load_pulse():
+    for name in ("pulse-simple", "pulse-simple.0"):
+        path = ctypes.util.find_library(name)
+        if path:
+            try:
+                return ctypes.CDLL(path)
+            except OSError:
+                continue
+    for path in ("libpulse-simple.so.0", "libpulse-simple.so"):
+        try:
+            return ctypes.CDLL(path)
+        except OSError:
+            continue
+    return None
+
+
+_PA = _load_pulse()
+
+
+def pulse_available() -> bool:
+    return _PA is not None
+
+
+class _SampleSpec(ctypes.Structure):
+    _fields_ = [
+        ("format", ctypes.c_int),
+        ("rate", ctypes.c_uint32),
+        ("channels", ctypes.c_uint8),
+    ]
+
+
+class _PulseSimple:
+    """Shared open/close over pa_simple (pulseaudio.cxx:60-81)."""
+
+    def __init__(self, direction: int, sample_rate: int, channels: int,
+                 device: str | None, name: str, stream: str):
+        if _PA is None:
+            raise RuntimeError("libpulse-simple not available")
+        _PA.pa_simple_new.restype = ctypes.c_void_p
+        spec = _SampleSpec(_PA_SAMPLE_FLOAT32LE, sample_rate, channels)
+        err = ctypes.c_int(0)
+        self._s = ctypes.c_void_p(
+            _PA.pa_simple_new(
+                None, name.encode(), direction,
+                device.encode() if device else None,
+                stream.encode(), ctypes.byref(spec), None, None,
+                ctypes.byref(err),
+            )
+        )
+        if not self._s:
+            raise RuntimeError(f"pa_simple_new failed (err {err.value})")
+        self.sample_rate = sample_rate
+        self.channels = channels
+
+    def close(self) -> None:
+        if self._s:
+            _PA.pa_simple_free(self._s)
+            self._s = None
+
+
+class PulseAudioSink(_PulseSimple):
+    """Blocking playback of float32 mono/stereo audio
+    (pulseaudio.cxx:113-152)."""
+
+    def __init__(self, sample_rate: int = 48_000, channels: int = 1,
+                 device: str | None = None):
+        super().__init__(_PA_STREAM_PLAYBACK, sample_rate, channels, device,
+                         "webradio-tpu", "audio out")
+
+    def write(self, samples: np.ndarray) -> bool:
+        data = np.ascontiguousarray(samples, np.float32)
+        err = ctypes.c_int(0)
+        rc = _PA.pa_simple_write(
+            self._s, data.ctypes.data_as(ctypes.c_void_p), data.nbytes,
+            ctypes.byref(err),
+        )
+        return rc == 0
+
+
+class PulseAudioSource(_PulseSimple):
+    """Blocking capture of float32 audio (pulseaudio.cxx:83-92)."""
+
+    def __init__(self, sample_rate: int = 48_000, channels: int = 1,
+                 device: str | None = None):
+        super().__init__(_PA_STREAM_RECORD, sample_rate, channels, device,
+                         "webradio-tpu", "audio in")
+
+    def read(self, frames: int) -> np.ndarray | None:
+        out = np.empty(frames * self.channels, np.float32)
+        err = ctypes.c_int(0)
+        rc = _PA.pa_simple_read(
+            self._s, out.ctypes.data_as(ctypes.c_void_p), out.nbytes,
+            ctypes.byref(err),
+        )
+        return out if rc == 0 else None
+
+
+class FileAudioSink:
+    """Headless audio sink: raw float32/PCM16/WAV to a file or FIFO."""
+
+    def __init__(self, path: str | pathlib.Path, sample_rate: int = 48_000,
+                 channels: int = 1, fmt: str = "wav"):
+        self.path = pathlib.Path(path)
+        self.sample_rate = sample_rate
+        self.channels = channels
+        self.fmt = fmt
+        self._f = open(self.path, "wb")
+        self._frames = 0
+        if fmt == "wav":
+            self._f.write(self._wav_header(0xFFFFFFFF))
+
+    def _wav_header(self, length: int) -> bytes:
+        sr, ch = self.sample_rate, self.channels
+        return (b"RIFF" + struct.pack("<I", length) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr,
+                                        sr * ch * 2, ch * 2, 16)
+                + b"data" + struct.pack("<I", length))
+
+    def write(self, samples: np.ndarray) -> bool:
+        x = np.asarray(samples, np.float32).reshape(-1)
+        if self.fmt == "f32":
+            data = x.tobytes()
+        else:
+            data = (np.clip(x, -1, 1) * 32767).astype("<i2").tobytes()
+        self._f.write(data)
+        self._frames += len(x) // self.channels
+        return True
+
+    def close(self) -> None:
+        if self._f.closed:
+            return
+        if self.fmt == "wav" and self._f.seekable():
+            # patch real lengths for finite recordings
+            bytes_ = self._frames * self.channels * 2
+            self._f.seek(0)
+            self._f.write(self._wav_header(36 + bytes_)[:8])
+            self._f.seek(40)
+            self._f.write(struct.pack("<I", bytes_))
+        self._f.close()
