@@ -359,3 +359,58 @@ def test_checkpoint_roundtrip(app, tmp_path):
     rx = [r for r in merged["receivers"] if r["if_frequency"] == 42_000]
     assert rx and rx[0]["demodulator"] == "USB"
     app.state_file = None
+
+
+def test_channelized_engine_live(tmp_path):
+    """A front end with engine=channelized serves audio end-to-end."""
+    from webradio_tpu.app import RadioApp
+
+    Radio.reset()
+    AudioStreamManager.reset()
+    config = {
+        "server": {"port": 0, "host": "127.0.0.1", "html": "html"},
+        "tuners": [
+            {
+                "driver": "tone",
+                "sample_rate": 256_000,
+                "channel_rate": 32_000,
+                "audio_rate": 8_000,
+                "block_frames": 8_192,
+                "capacity": 2,
+                "engine": "channelized",
+            }
+        ],
+        "receivers": [{"tuner": 0, "if_frequency": 0, "demodulator": "AM"}],
+    }
+    a = RadioApp(config)
+    try:
+        assert a.start()
+        deadline = time.time() + 60
+        while a.front_ends[0].block_count < 3 and time.time() < deadline:
+            time.sleep(0.05)
+        assert a.front_ends[0].block_count >= 3
+        status, _, data = request(a, "GET", "/status")
+        assert json.loads(data)["front_ends"][a.front_ends[0].uuid][
+            "engine"] == "channelized"
+        # audio carries the 1 kHz AM tone through the filterbank path
+        conn = http.client.HTTPConnection("127.0.0.1", a.server.port,
+                                          timeout=30)
+        conn.request("GET", f"/audio/{a.receivers[0].uuid}.wav")
+        resp = conn.getresponse()
+        chunks = b""
+        while len(chunks) < 44 + 8_000:
+            c = resp.read(4096)
+            if not c:
+                break
+            chunks += c
+        conn.close()
+        pcm = np.frombuffer(chunks[44:44 + (len(chunks) - 44) // 2 * 2],
+                            dtype="<i2").astype(np.float32) / 32768
+        x = pcm - pcm.mean()
+        f = np.fft.rfftfreq(len(x), 1 / 8_000)
+        mag = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+        lo = np.searchsorted(f, 100)
+        assert abs(f[lo + mag[lo:].argmax()] - 1_000) < 20
+    finally:
+        a.close()
+        AudioStreamManager.reset()

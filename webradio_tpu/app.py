@@ -178,7 +178,8 @@ class RadioApp:
                 audio_rate=tcfg.get("audio_rate", 48_000),
                 block_frames=tcfg.get("block_frames", 102_400),
             )
-            fe = FrontEnd(tuner, chain, capacity=tcfg.get("capacity", 4))
+            fe = FrontEnd(tuner, chain, capacity=tcfg.get("capacity", 4),
+                          engine=tcfg.get("engine", "auto"))
             self.front_ends.append(fe)
         for rcfg in self.config.get("receivers", []):
             rx = Receiver()

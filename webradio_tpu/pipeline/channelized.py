@@ -217,3 +217,60 @@ def channelized_step(
         audio_hist=audio_hist,
     )
     return new_state, audio, spectra
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def channelized_step_serving(
+    cfg: ChannelizedConfig,
+    params: ChannelizedParams,
+    state: ChannelizedState,
+    iq: jax.Array,
+) -> tuple[ChannelizedState, jax.Array, jax.Array]:
+    """Serving variant: (state, audio, latest spectrum row in dB) — the
+    channelized counterpart of ``frontend_step_serving``."""
+    new_state, audio, spectra = channelized_step(cfg, params, state, iq)
+    latest_db = ops.spectrum_db(spectra[:, spectra.shape[1] - 1, :])
+    return new_state, audio, latest_db
+
+
+class ChannelizedPipeline:
+    """Stateful wrapper with the same host interface as
+    :class:`webradio_tpu.pipeline.frontend.FrontEndPipeline` (double-
+    buffered ``process_host``), so the live server can swap compute paths
+    by configuration."""
+
+    def __init__(self, cfg: ChannelizedConfig, params: ChannelizedParams):
+        self.cfg = cfg
+        self.params = params
+        self.state = init_channelized_state(cfg)
+        self._pending = None
+
+    def update_params(self, params: ChannelizedParams) -> None:
+        self.params = params
+
+    def process_host(self, iq_planes: np.ndarray):
+        iq = jnp.asarray(iq_planes)
+        self.state, audio, latest_db = channelized_step_serving(
+            self.cfg, self.params, self.state, iq
+        )
+        result = None
+        if self._pending is not None:
+            result = jax.device_get(self._pending)
+        self._pending = (audio, latest_db)
+        return result
+
+    def flush(self):
+        result = None
+        if self._pending is not None:
+            result = jax.device_get(self._pending)
+            self._pending = None
+        return result
+
+    def process_host_sync(self, iq_planes: np.ndarray):
+        out = self.process_host(iq_planes)
+        tail = self.flush()
+        return tail if out is None else out
+
+    def reset(self) -> None:
+        self.state = init_channelized_state(self.cfg)
+        self._pending = None

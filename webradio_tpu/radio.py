@@ -21,7 +21,16 @@ import numpy as np
 from .io.ring import BlockRing, CaptureThread
 from .io.tuner import Tuner
 from .pipeline import ChainConfig, FrontEndPipeline, make_receiver_params
+from .pipeline.channelized import (
+    ChannelizedConfig,
+    ChannelizedPipeline,
+    make_channelized_params,
+)
 from .ops.demod import MODES
+
+#: "auto" engine switches to the shared polyphase filterbank once the
+#: channel batch is wide enough that per-channel wideband mixing dominates
+CHANNELIZED_AUTO_THRESHOLD = 16
 
 log = logging.getLogger(__name__)
 
@@ -122,9 +131,14 @@ class FrontEnd:
     """
 
     def __init__(self, tuner: Tuner, cfg: ChainConfig | None = None,
-                 capacity: int = 4):
+                 capacity: int = 4, engine: str = "auto"):
+        """``engine``: "direct" (per-channel NCO+FIR, the reference
+        topology), "channelized" (shared polyphase filterbank — the
+        scalable path), or "auto" (channelized at capacity >=
+        CHANNELIZED_AUTO_THRESHOLD)."""
         self.uuid = _next_uuid("frontend")
         self.tuner = tuner
+        self.engine = engine
         base = cfg or ChainConfig()
         self.cfg = ChainConfig(**{**base.__dict__, "num_channels": capacity})
         self._slots: list[Receiver | None] = [None] * capacity
@@ -172,6 +186,13 @@ class FrontEnd:
         return self._slots.index(rx)
 
     # ---- parameters ------------------------------------------------
+    def _use_channelized(self) -> bool:
+        if self.engine == "channelized":
+            return True
+        if self.engine == "direct":
+            return False
+        return self.cfg.num_channels >= CHANNELIZED_AUTO_THRESHOLD
+
     def rebuild_params(self) -> None:
         """Compile control-plane settings into the step's parameter pytree
         (picked up at the next block; no recompilation)."""
@@ -185,11 +206,26 @@ class FrontEnd:
                 ifbw.append(slot.if_bandwidth)
                 afbw.append(slot.af_bandwidth)
                 modes.append(slot.demodulator)
-        params = make_receiver_params(self.cfg, ifs, ifbw, afbw, modes)
-        if self.pipeline is None:
-            self.pipeline = FrontEndPipeline(self.cfg, params)
+        if self._use_channelized():
+            ccfg = ChannelizedConfig(
+                sample_rate=self.cfg.sample_rate,
+                channel_rate=self.cfg.channel_rate,
+                audio_rate=self.cfg.audio_rate,
+                block_frames=self.cfg.block_frames,
+                num_channels=self.cfg.num_channels,
+                fft_size=self.cfg.fft_size,
+            )
+            params = make_channelized_params(ccfg, ifs, ifbw, afbw, modes)
+            if self.pipeline is None:
+                self.pipeline = ChannelizedPipeline(ccfg, params)
+            else:
+                self.pipeline.update_params(params)
         else:
-            self.pipeline.update_params(params)
+            params = make_receiver_params(self.cfg, ifs, ifbw, afbw, modes)
+            if self.pipeline is None:
+                self.pipeline = FrontEndPipeline(self.cfg, params)
+            else:
+                self.pipeline.update_params(params)
 
     # ---- lifecycle --------------------------------------------------
     def start(self) -> bool:

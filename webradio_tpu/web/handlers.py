@@ -111,6 +111,8 @@ class StatusHandler(HttpRequestHandler):
                 "last_step_ms": round(fe.last_step_ns / 1e6, 2),
                 "sample_rate": fe.cfg.sample_rate,
                 "channel_capacity": fe.cfg.num_channels,
+                "engine": ("channelized" if fe._use_channelized()
+                           else "direct"),
                 "receivers": sorted(fe.receivers),
             }
         return self.send_json(
