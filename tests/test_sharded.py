@@ -84,3 +84,56 @@ def test_mesh_shape_heuristic():
     t, c = mesh_shape_for(8, 4, 102_400)
     assert t * c == 8 and c <= 4
     assert mesh_shape_for(4, 1, 102_400) == (4, 1)
+
+
+class TestMultihost:
+    """Degenerate single-process coverage of the multi-host helpers."""
+
+    def test_init_noop_without_coordinator(self, monkeypatch):
+        from webradio_tpu.parallel.multihost import init_distributed
+
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        assert init_distributed() is False
+
+    def test_host_slice_and_global_block(self):
+        import numpy as np
+        from webradio_tpu.parallel import make_mesh
+        from webradio_tpu.parallel.multihost import (
+            host_time_slice, make_global_block,
+        )
+
+        mesh = make_mesh(4, 2)
+        n = 4096
+        lo, hi = host_time_slice(n, mesh)
+        assert (lo, hi) == (0, n)  # single process owns every shard
+        local = np.random.default_rng(0).standard_normal(
+            (2, hi - lo)).astype(np.float32)
+        g = make_global_block(local, n, mesh)
+        assert g.shape == (2, n)
+        np.testing.assert_array_equal(np.asarray(g), local)
+
+    def test_sharded_step_consumes_global_block(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from webradio_tpu.parallel import make_mesh
+        from webradio_tpu.parallel.multihost import make_global_block
+        from webradio_tpu.parallel.sharded_channelized import (
+            ShardedChannelizedFrontEnd,
+        )
+        from webradio_tpu.pipeline.channelized import (
+            ChannelizedConfig, make_channelized_params,
+        )
+
+        cfg = ChannelizedConfig(
+            sample_rate=1_024_000, channel_rate=128_000, audio_rate=32_000,
+            block_frames=16_384, num_channels=4,
+        )
+        mesh = make_mesh(2, 4)
+        params = make_channelized_params(cfg, [0, 10_000, -10_000, 128_000],
+                                         80_000, 8_000, "FM")
+        fe = ShardedChannelizedFrontEnd(cfg, params, mesh)
+        local = np.random.default_rng(1).standard_normal(
+            (2, cfg.block_frames)).astype(np.float32)
+        g = make_global_block(local, cfg.block_frames, mesh)
+        audio, spectra = fe.process(g)
+        assert audio.shape == (4, cfg.audio_frames)

@@ -414,3 +414,47 @@ def test_channelized_engine_live(tmp_path):
     finally:
         a.close()
         AudioStreamManager.reset()
+
+
+def test_multi_tuner_topology():
+    """Two tuners, receivers on each — the M-tuners/N-receivers shape the
+    reference architecture supports but never ships (README:8-10)."""
+    from webradio_tpu.app import RadioApp
+
+    Radio.reset()
+    AudioStreamManager.reset()
+    tcfg = {
+        "driver": "tone", "sample_rate": 256_000, "channel_rate": 32_000,
+        "audio_rate": 8_000, "block_frames": 8_192, "capacity": 2,
+    }
+    config = {
+        "server": {"port": 0, "host": "127.0.0.1"},
+        "tuners": [dict(tcfg), dict(tcfg, centre_frequency=7_000_000)],
+        "receivers": [
+            {"tuner": 0, "if_frequency": 0, "demodulator": "AM"},
+            {"tuner": 1, "if_frequency": 100_000, "demodulator": "FM"},
+            {"tuner": 1, "if_frequency": 0, "demodulator": "AM"},
+        ],
+    }
+    a = RadioApp(config)
+    try:
+        assert a.start()
+        deadline = time.time() + 60
+        while (min(fe.block_count for fe in a.front_ends) < 2
+               and time.time() < deadline):
+            time.sleep(0.05)
+        assert all(fe.block_count >= 2 for fe in a.front_ends)
+        _, _, data = request(a, "GET", "/tuners")
+        assert len(json.loads(data)) == 2
+        fe1 = a.front_ends[1]
+        _, _, data = request(a, "GET", f"/receivers?tuner_id={fe1.uuid}")
+        assert len(json.loads(data)) == 2
+        # each front end serves its own waterfall
+        for fe in a.front_ends:
+            status, _, data = request(app=a, method="GET",
+                                      path=f"/tuners/{fe.uuid}/waterfall")
+            assert status == 200
+            assert max(json.loads(data)["data"]) > -10000
+    finally:
+        a.close()
+        AudioStreamManager.reset()
