@@ -8,9 +8,14 @@ how many receiver channels the chip sustains in real time. The per-channel
 direct path (NCO + full-rate FIR per receiver, the reference topology) is
 measured alongside for comparison.
 
-Execution is forced by fetching a scalar checksum through the device->host
-path inside the timed region — on tunneled backends ``block_until_ready``
-acks before remote execution completes, so dispatch-only timing lies.
+Robustness: measurements run in a child process streaming results to a
+file; the parent enforces a wall-clock deadline and prints the best
+result seen even if the device tunnel wedges mid-run (its first
+device->host transfer is known to hang for minutes on some sessions).
+Execution is forced by fetching a scalar checksum through the
+device->host path inside the timed region — ``block_until_ready`` acks
+before remote execution completes on tunneled backends, so dispatch-only
+timing lies.
 
 Baseline: the reference demonstrates exactly 1 real-time receiver on its
 target CPU (SURVEY §6, BASELINE.md) — ``vs_baseline`` is the channel ratio.
@@ -20,21 +25,28 @@ Prints ONE JSON line:
 """
 
 import json
+import os
+import signal
+import subprocess
+import sys
+import tempfile
 import time
 
-import numpy as np
-
 STEPS = 20
+DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", "480"))
 
+
+# ---------------------------------------------------------------------------
+# worker: actual measurements, one JSON line per result to the given file
+# ---------------------------------------------------------------------------
 
 def _measure(step, params, state, iq, checksum):
     """Median-of-3 of (STEPS steps + forcing fetch), seconds per step."""
     import jax
 
-    # warmup / compile / first-transfer
     s = state
     s, audio, spectra = step(params, s, iq)
-    jax.device_get(checksum(audio, spectra))
+    jax.device_get(checksum(audio, spectra))  # compile + transfer warm
 
     times = []
     for _ in range(3):
@@ -46,7 +58,8 @@ def _measure(step, params, state, iq, checksum):
     return sorted(times)[1]
 
 
-def main():
+def worker(out_path: str) -> None:
+    import numpy as np
     import jax
     import jax.numpy as jnp
 
@@ -63,10 +76,16 @@ def main():
         make_channelized_params,
     )
 
+    out = open(out_path, "a", buffering=1)
+
+    def emit(**kv):
+        out.write(json.dumps(kv) + "\n")
+
     dev = jax.devices()[0]
     rng = np.random.default_rng(0)
-    iq_np = rng.standard_normal((2, 102_400)).astype(np.float32)
-    iq = jax.device_put(jnp.asarray(iq_np), dev)
+    iq = jax.device_put(
+        jnp.asarray(rng.standard_normal((2, 102_400)).astype(np.float32)), dev
+    )
 
     def checksum(audio, spectra):
         return jnp.sum(audio[:, 0]) + jnp.sum(spectra[0, 0, 0])
@@ -74,11 +93,7 @@ def main():
     def ifs(c):
         return [int((i - c // 2) * 2_000) for i in range(c)]
 
-    report = {}
-
-    # ---- channelized path (the scalable one) ----
-    best_rt, best_c = 0.0, 0
-    for c in (1024, 4096, 16384):
+    for c in (1024, 4096, 8192):
         cfg = ChannelizedConfig(num_channels=c)
         try:
             params = make_channelized_params(cfg, ifs(c), 80_000, 8_000, "FM")
@@ -87,18 +102,14 @@ def main():
                 lambda p, s, x: channelized_step(cfg, p, s, x),
                 params, state, iq, checksum,
             )
-        except Exception as e:  # OOM etc. — keep the best so far
-            report[f"pfb_c{c}_error"] = str(e)[:120]
+        except Exception as e:
+            emit(kind="error", key=f"pfb_c{c}", error=str(e)[:120])
             break
-        rt = c * cfg.block_seconds / dt
-        report[f"pfb_c{c}_step_ms"] = round(dt * 1e3, 2)
-        report[f"pfb_c{c}_rt_channels"] = round(rt, 1)
-        if rt > best_rt:
-            best_rt, best_c = rt, c
+        emit(kind="result", path="pfb", channels=c, step_ms=dt * 1e3,
+             rt_channels=c * cfg.block_seconds / dt)
         if dt > 4 * cfg.block_seconds:
             break
 
-    # ---- direct per-channel path (reference topology) ----
     for c in (256, 1024):
         cfg = ChainConfig(num_channels=c)
         try:
@@ -109,13 +120,66 @@ def main():
                 params, state, iq, checksum,
             )
         except Exception as e:
-            report[f"direct_c{c}_error"] = str(e)[:120]
+            emit(kind="error", key=f"direct_c{c}", error=str(e)[:120])
             break
-        rt = c * cfg.block_seconds / dt
-        report[f"direct_c{c}_step_ms"] = round(dt * 1e3, 2)
-        report[f"direct_c{c}_rt_channels"] = round(rt, 1)
+        emit(kind="result", path="direct", channels=c, step_ms=dt * 1e3,
+             rt_channels=c * cfg.block_seconds / dt)
         if dt > 4 * cfg.block_seconds:
             break
+    emit(kind="done")
+
+
+# ---------------------------------------------------------------------------
+# parent: deadline + aggregation
+# ---------------------------------------------------------------------------
+
+def main() -> None:
+    fd, path = tempfile.mkstemp(prefix="webradio_bench_", suffix=".jsonl")
+    os.close(fd)
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--worker", path],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        start_new_session=True,
+    )
+    deadline = time.time() + DEADLINE_S
+    done = False
+    while time.time() < deadline:
+        if child.poll() is not None:
+            done = True
+            break
+        time.sleep(2.0)
+    if not done:
+        # tunnel wedged or overran: take what we have (SIGKILL the exact
+        # process group we created; never kill by pattern)
+        try:
+            os.killpg(child.pid, signal.SIGKILL)
+        except OSError:
+            child.kill()
+        child.wait()
+
+    report, best_rt, best_c = {}, 0.0, 0
+    try:
+        for line in open(path):
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get("kind") == "result":
+                key = f"{rec['path']}_c{rec['channels']}"
+                report[f"{key}_step_ms"] = round(rec["step_ms"], 2)
+                report[f"{key}_rt_channels"] = round(rec["rt_channels"], 1)
+                if rec["path"] == "pfb" and rec["rt_channels"] > best_rt:
+                    best_rt, best_c = rec["rt_channels"], rec["channels"]
+            elif rec.get("kind") == "error":
+                report[rec["key"] + "_error"] = rec["error"]
+    except OSError:
+        pass
+    if not done:
+        report["note"] = f"deadline {DEADLINE_S}s hit; partial results"
+    try:
+        os.unlink(path)
+    except OSError:
+        pass
 
     value = round(best_rt, 1)
     print(
@@ -133,4 +197,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[1] == "--worker":
+        worker(sys.argv[2])
+    else:
+        main()
