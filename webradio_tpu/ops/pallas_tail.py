@@ -59,8 +59,10 @@ def _tail_kernel(k_taps: int,
     cosidx = (sinidx + jnp.uint32((1 << LOOKUP_BITS) // 4)) & jnp.uint32(
         LOOKUP_MASK
     )
-    s = jnp.sin(sinidx.astype(jnp.float32) * _ANGLE_SCALE)
-    c = jnp.sin(cosidx.astype(jnp.float32) * _ANGLE_SCALE)
+    # Mosaic has no uint32->float32 cast; both indices are < 2^16 so the
+    # int32 detour is exact
+    s = jnp.sin(sinidx.astype(jnp.int32).astype(jnp.float32) * _ANGLE_SCALE)
+    c = jnp.sin(cosidx.astype(jnp.int32).astype(jnp.float32) * _ANGLE_SCALE)
     xi, xq = xi_ref[:], xq_ref[:]
     mi = xi * c + xq * s
     mq = xq * c - xi * s
