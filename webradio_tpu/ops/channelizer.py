@@ -93,21 +93,24 @@ def pfb_channelize(
     num_bins: int,
     history: jax.Array,
 ) -> tuple[jax.Array, jax.Array]:
-    """Channelize ``[2, N]`` wideband IQ planes into ``[2, D, N // D]`` bins.
+    """Channelize ``[2, N]`` wideband IQ planes into per-output streams at
+    rate ``fs / D``.
 
     Args:
       x: ``[2, N]`` float32 IQ planes at the wideband rate; ``N % D == 0``.
-      weights: ``[K_p, 2 D]`` from :func:`bin_weights`.
-      num_bins: ``D``, the decimation factor and bin count.
+      weights: ``[K_p, 2 M]`` — either :func:`bin_weights` (M = D uniform
+        bins) or :func:`bin_weights_for_channels` (M = C receivers with
+        selection folded in).
+      num_bins: ``D``, the decimation factor.
       history: ``[2, K_p - 1]`` float32 — previous input tail (zeros for a
         fresh stream). The only filterbank state.
 
-    Returns ``(bins, new_history)`` with ``bins [2, D, nd]`` float32 at
-    rate ``fs / D``, bin ``c`` centred at ``+c * fs / D`` (bins above
-    ``D / 2`` alias to negative frequencies, as usual).
+    Returns ``(out, new_history)`` with ``out [2, M, nd]`` float32 at rate
+    ``fs / D``; output ``m`` is centred at its weight column's bin
+    frequency (bins above ``D / 2`` alias to negative frequencies).
 
-    The mixed output for bin c is ``(i + j q)(cos - j sin)`` of the
-    weighted sum, matching the conjugate-LO mixer convention of
+    The mixed output is ``(i + j q)(cos - j sin)`` of the weighted sum,
+    matching the conjugate-LO mixer convention of
     downconverter.cxx:105-110.
     """
     d = int(num_bins)
@@ -134,13 +137,14 @@ def pfb_channelize(
         weights,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [2, nd, 2D]
+    )  # [2, nd, 2M]
 
+    m = weights.shape[1] // 2
     i_in, q_in = y[0], y[1]
-    cos_part_i = i_in[:, :d]  # sum_k h cos(phi_k) i_k
-    sin_part_i = i_in[:, d:]  # sum_k h sin(phi_k) i_k
-    cos_part_q = q_in[:, :d]
-    sin_part_q = q_in[:, d:]
+    cos_part_i = i_in[:, :m]  # sum_k h cos(phi_k) i_k
+    sin_part_i = i_in[:, m:]  # sum_k h sin(phi_k) i_k
+    cos_part_q = q_in[:, :m]
+    sin_part_q = q_in[:, m:]
     # y_c = sum_k h (i + j q)(cos phi + j sin phi), phi = 2 pi c k / D
     # (the conjugate-LO e^{-j 2 pi c (mD - k)/D} collapses to e^{+j phi}
     # because e^{-j 2 pi c m} = 1 at every retained output sample)
@@ -150,6 +154,77 @@ def pfb_channelize(
 
     new_history = x[..., n - (kp - 1):]
     return bins, new_history
+
+
+def bin_weights_for_channels(
+    proto: np.ndarray, num_bins: int, bin_idx: np.ndarray
+) -> np.ndarray:
+    """Per-channel weight tensor ``Bc [K_p, 2, C]`` — bin selection folded
+    into the filterbank.
+
+    ``Bc[:, 0, c]`` / ``Bc[:, 1, c]`` are the cos/sin weights of channel
+    ``c``'s assigned bin, so ``im2col(x) @ Bc`` yields every receiver's
+    downconverted, prototype-filtered, decimated stream in ONE MXU matmul
+    with contraction ``K_p`` and output width ``2 C`` — no bins
+    intermediate and no separate selection matmul. For large C this is the
+    whole wideband stage. The trailing axis is the channel axis (sharded
+    data-parallel in the multi-chip step).
+    """
+    kp = proto.shape[0]
+    d = int(num_bins)
+    k = np.arange(kp)[:, None]
+    c = np.asarray(bin_idx, np.int64)[None, :]
+    ang = 2.0 * np.pi * (k * c % d) / d
+    b = np.empty((kp, 2, c.shape[1]), np.float32)
+    b[:, 0, :] = proto[:, None] * np.cos(ang)
+    b[:, 1, :] = proto[:, None] * np.sin(ang)
+    return b
+
+
+@functools.partial(jax.jit, static_argnames=("decimation",))
+def pfb_channelize_direct(
+    x: jax.Array,
+    weights: jax.Array,
+    decimation: int,
+    history: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Channelize straight to per-receiver streams: ``[2, N] -> [2, C, nd]``.
+
+    Like :func:`pfb_channelize` but with :func:`bin_weights_for_channels`
+    weights ``[K_p, 2, C]``; the whole wideband stage (mix + anti-alias +
+    decimate + bin-route for every receiver) is the single dot_general
+    ``[2, nd, K_p] x [K_p, 2 C]``.
+    """
+    d = int(decimation)
+    kp = weights.shape[0]
+    n = x.shape[-1]
+    if n % d:
+        raise ValueError("block length must be a multiple of the decimation")
+    nd = n // d
+
+    xext = jnp.concatenate([history, x], axis=-1)  # [2, N + K_p - 1]
+    span = (nd - 1) * d + 1
+    frames = [
+        lax.slice_in_dim(xext, kp - 1 - k, kp - 1 - k + span, stride=d, axis=-1)
+        for k in range(kp)
+    ]
+    f = jnp.stack(frames, axis=-1)  # [2, nd, K_p]
+
+    y = jax.lax.dot_general(
+        f,
+        weights,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [2, nd, 2, C]
+
+    i_in, q_in = y[0], y[1]
+    # conjugate-LO combine (see pfb_channelize)
+    out_i = i_in[:, 0, :] - q_in[:, 1, :]
+    out_q = q_in[:, 0, :] + i_in[:, 1, :]
+    out = jnp.stack([out_i, out_q]).transpose(0, 2, 1)  # [2, C, nd]
+
+    new_history = x[..., n - (kp - 1):]
+    return out, new_history
 
 
 def assign_bins(if_hz, fs_hz: int, num_bins: int):

@@ -35,7 +35,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import ops
-from ..ops.channelizer import pfb_channelize, select_bins
+from ..ops.channelizer import pfb_channelize_direct
 from ..pipeline.channelized import (
     ChannelizedConfig,
     ChannelizedParams,
@@ -54,16 +54,15 @@ def _shard_body(cfg: ChannelizedConfig, t_shards: int, params, state, iq_local):
 
     spectra = ops.spectrum_accumulate(iq_local, cfg.fft_size)
 
-    # ---- filterbank: raw-input history halo
+    # ---- filterbank: raw-input history halo; each chan shard's matmul
+    # computes only its own channels (weights sharded on the channel axis)
     iq_halo = lax.ppermute(iq_local[:, iq_local.shape[-1] - (kp - 1):],
                            "time", perm)
     pfb_hist = jnp.where(tidx == 0, state.pfb_hist, iq_halo)
-    bins, pfb_hist_local = pfb_channelize(
+    chan_in, pfb_hist_local = pfb_channelize_direct(
         iq_local, params.pfb_weights, cfg.num_bins, pfb_hist
-    )
+    )  # [2, C_local, nd_local]
     new_pfb_hist = _from_last(pfb_hist_local, tidx, t_shards)
-
-    chan_in = select_bins(bins, params.selector)  # [2, C_local, nd_local]
 
     # ---- residual NCO: closed-form start phase per shard
     shard_start = (tidx * nd_local).astype(jnp.uint32)
@@ -130,8 +129,7 @@ def sharded_channelized_step(cfg: ChannelizedConfig, mesh: Mesh):
         raise ValueError("num_channels must divide over chan shards")
 
     params_spec = ChannelizedParams(
-        pfb_weights=P(None, None),  # shared filterbank, replicated
-        selector=P("chan", None),
+        pfb_weights=P(None, None, "chan"),
         residual_step=P("chan"),
         chan_coeff=P("chan", None),
         audio_coeff=P("chan", None),

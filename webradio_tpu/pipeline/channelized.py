@@ -6,17 +6,17 @@ full-rate FIR per receiver — the reference topology, radio.cxx:68-76,
 vectorized). Here the wideband work is shared:
 
   1. spectrum FFT on the raw block (unchanged);
-  2. polyphase DFT filterbank -> D uniform bins at ``fs / D``
-     (:mod:`webradio_tpu.ops.channelizer`);
-  3. per receiver: nearest-bin select (one-hot matmul), residual NCO shift
-     at the decimated rate, passband-shaping FIR, demodulation, audio FIR —
-     all at ``fs / D`` or below.
+  2. polyphase DFT filterbank with per-receiver bin selection folded into
+     the weight tensor — ONE MXU matmul takes the wideband block straight
+     to ``[2, C, nd]`` per-receiver streams at ``fs / D``
+     (:func:`webradio_tpu.ops.channelizer.pfb_channelize_direct`);
+  3. per receiver: residual NCO shift at the decimated rate,
+     passband-shaping FIR, demodulation, audio FIR — all at ``fs / D``.
 
-Per-channel wideband-rate cost drops from ``O(K * fs)`` to ``O(fs / D)``
-(the selection matmul row), which is what makes >=1000 concurrent receivers
-per chip reachable (BASELINE north star). Control updates (IF retune,
-passband, mode) remain parameter-only: the filterbank weights depend only
-on static config, and a retune just rewrites the selector row, residual
+Per-channel wideband-rate cost collapses to one MXU matmul column, which
+is what makes >=1000 concurrent receivers per chip reachable (BASELINE
+north star). Control updates (IF retune, passband, mode) remain
+parameter-only: a retune rewrites the channel's weight columns, residual
 step, and FIR coefficients host-side.
 """
 
@@ -32,11 +32,9 @@ import numpy as np
 from .. import ops
 from ..ops.channelizer import (
     assign_bins,
-    bin_weights,
+    bin_weights_for_channels,
     design_prototype,
-    one_hot_select,
-    pfb_channelize,
-    select_bins,
+    pfb_channelize_direct,
 )
 from ..ops.demod import MODES
 from ..ops.firdesign import FIR_LENGTH, design_lowpass_fir
@@ -57,6 +55,11 @@ class ChannelizedConfig:
     taps_per_phase: int = 16
     fir_length: int = FIR_LENGTH
     fft_size: int = DEFAULT_FFT_SIZE
+    #: fuse mix+shaping-FIR+demod into one Pallas VMEM kernel
+    #: (ops/pallas_tail.py). Requires num_channels % 8 == 0 and
+    #: chan_frames % 1024 == 0; the FIR state carry becomes the raw
+    #: (pre-mix) tail, so states are not interchangeable across the flag.
+    use_pallas_tail: bool = False
 
     def __post_init__(self):
         if self.sample_rate % self.channel_rate:
@@ -96,8 +99,7 @@ class ChannelizedConfig:
 
 
 class ChannelizedParams(NamedTuple):
-    pfb_weights: jnp.ndarray  # [K_p, 2 D] float32
-    selector: jnp.ndarray  # [C, D] float32 one-hot
+    pfb_weights: jnp.ndarray  # [K_p, 2, C] float32 (selection folded in)
     residual_step: jnp.ndarray  # [C] uint32 (at channel rate)
     chan_coeff: jnp.ndarray  # [C, K] float32 (decim-1 shaping FIR)
     audio_coeff: jnp.ndarray  # [C, K] float32
@@ -134,9 +136,8 @@ def make_channelized_params(
         raise ValueError("parameter lists must match num_channels")
 
     proto = design_prototype(cfg.sample_rate, cfg.num_bins, cfg.taps_per_phase)
-    weights = bin_weights(proto, cfg.num_bins)
     bin_idx, residual = assign_bins(ifs, cfg.sample_rate, cfg.num_bins)
-    selector = one_hot_select(cfg.num_bins, bin_idx)
+    weights = bin_weights_for_channels(proto, cfg.num_bins, bin_idx)
     steps = np.array(
         [nco_phase_step(int(r), cfg.channel_rate) for r in residual],
         dtype=np.uint32,
@@ -155,7 +156,6 @@ def make_channelized_params(
     )
     return ChannelizedParams(
         pfb_weights=jnp.asarray(weights),
-        selector=jnp.asarray(selector),
         residual_step=jnp.asarray(steps),
         chan_coeff=jnp.asarray(chan),
         audio_coeff=jnp.asarray(audio),
@@ -189,21 +189,30 @@ def channelized_step(
     """
     spectra = ops.spectrum_accumulate(iq, cfg.fft_size)
 
-    bins, pfb_hist = pfb_channelize(
+    chan_in, pfb_hist = pfb_channelize_direct(
         iq, params.pfb_weights, cfg.num_bins, state.pfb_hist
-    )
-    chan_in = select_bins(bins, params.selector)  # [2, C, nd]
+    )  # [2, C, nd] — wideband stage is one MXU matmul
 
-    mixed = ops.nco_mix(chan_in, state.nco_phase, params.residual_step)
     nco_phase = ops.nco_advance(
         state.nco_phase, params.residual_step, cfg.chan_frames
     )
+    if cfg.use_pallas_tail:
+        from ..ops.pallas_tail import fused_receiver_tail
 
-    shaped, chan_hist = ops.fir_decimate(
-        mixed, params.chan_coeff, 1, state.chan_hist
-    )
-
-    audio_if, demod_prev = ops.demodulate(shaped, params.mode, state.demod_prev)
+        # chan_hist carries the RAW selected-bin tail in this mode
+        audio_if, chan_hist, demod_prev = fused_receiver_tail(
+            chan_in, state.nco_phase, params.residual_step,
+            params.chan_coeff, params.mode, state.chan_hist,
+            state.demod_prev,
+        )
+    else:
+        mixed = ops.nco_mix(chan_in, state.nco_phase, params.residual_step)
+        shaped, chan_hist = ops.fir_decimate(
+            mixed, params.chan_coeff, 1, state.chan_hist
+        )
+        audio_if, demod_prev = ops.demodulate(
+            shaped, params.mode, state.demod_prev
+        )
 
     audio, audio_hist = ops.fir_decimate(
         audio_if, params.audio_coeff, cfg.audio_decim, state.audio_hist
