@@ -152,3 +152,30 @@ def test_process_host_serving_path(rng):
     assert audio.shape == (1, CFG.audio_frames)
     assert latest_db.shape == (CFG.fft_size,)
     assert np.isfinite(latest_db).any()
+
+
+def test_af_gain_and_squelch(rng):
+    """af_gain scales audio; a squelch threshold above the channel power
+    mutes it (both inert stubs in the reference, receiverhandler.cxx:118)."""
+    from webradio_tpu.pipeline import make_receiver_params, init_state
+    from webradio_tpu.pipeline.frontend import frontend_step
+
+    iq = _as_planes(make_iq(rng, CFG.block_frames, "fm", fs=CFG.sample_rate))
+
+    base = make_receiver_params(CFG, 100_000, 80_000, 8_000, "FM")
+    _, audio0, _ = frontend_step(CFG, base, init_state(CFG), iq)
+
+    loud = make_receiver_params(CFG, 100_000, 80_000, 8_000, "FM",
+                                af_gain_db=20)
+    _, audio20, _ = frontend_step(CFG, loud, init_state(CFG), iq)
+    np.testing.assert_allclose(np.asarray(audio20), np.asarray(audio0) * 10,
+                               rtol=1e-4)
+
+    # a -40 dB carrier against a -20 dB squelch threshold -> muted
+    muted = make_receiver_params(CFG, 100_000, 80_000, 8_000, "FM",
+                                 squelch_db=-20)
+    _, audio_m, _ = frontend_step(CFG, muted, init_state(CFG), iq * 0.01)
+    assert float(np.abs(np.asarray(audio_m)).max()) == 0.0
+    # same threshold, full-power carrier -> open
+    _, audio_o, _ = frontend_step(CFG, muted, init_state(CFG), iq)
+    assert float(np.abs(np.asarray(audio_o)).max()) > 0.0

@@ -98,6 +98,9 @@ def _shard_body(cfg: ChainConfig, t_shards: int, params, state, iq_local):
         audio_if, rxp.audio_coeff, cfg.audio_decim, audio_hist
     )
     new_audio_hist = _from_last(audio_hist_local, tidx, t_shards)
+    from ..pipeline.frontend import _apply_gain_squelch
+
+    audio = _apply_gain_squelch(audio, chan, rxp.af_gain, rxp.squelch)
 
     new_state = FrontEndState(
         rx=ReceiverState(
@@ -136,6 +139,8 @@ def sharded_frontend_step(cfg: ChainConfig, mesh: Mesh):
             chan_coeff=P("chan", None),
             audio_coeff=P("chan", None),
             mode=P("chan"),
+            af_gain=P("chan"),
+            squelch=P("chan"),
         )
     )
     state_spec = FrontEndState(

@@ -98,6 +98,11 @@ def _shard_body(cfg: ChannelizedConfig, t_shards: int, params, state, iq_local):
         audio_if, params.audio_coeff, cfg.audio_decim, audio_hist
     )
     new_audio_hist = _from_last(audio_hist_local, tidx, t_shards)
+    from ..pipeline.frontend import _apply_gain_squelch
+
+    # NOTE: the squelch gate is evaluated on the local time shard's power
+    audio = _apply_gain_squelch(audio, chan_in, params.af_gain,
+                                params.squelch)
 
     new_state = ChannelizedState(
         pfb_hist=new_pfb_hist,
@@ -134,6 +139,8 @@ def sharded_channelized_step(cfg: ChannelizedConfig, mesh: Mesh):
         chan_coeff=P("chan", None),
         audio_coeff=P("chan", None),
         mode=P("chan"),
+        af_gain=P("chan"),
+        squelch=P("chan"),
     )
     state_spec = ChannelizedState(
         pfb_hist=P(None, None),  # tiny, replicated

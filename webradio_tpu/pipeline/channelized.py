@@ -104,6 +104,8 @@ class ChannelizedParams(NamedTuple):
     chan_coeff: jnp.ndarray  # [C, K] float32 (decim-1 shaping FIR)
     audio_coeff: jnp.ndarray  # [C, K] float32
     mode: jnp.ndarray  # [C] int32
+    af_gain: jnp.ndarray  # [C] float32 — linear audio gain
+    squelch: jnp.ndarray  # [C] float32 — power gate threshold (dB; 0 = off)
 
 
 class ChannelizedState(NamedTuple):
@@ -120,6 +122,8 @@ def make_channelized_params(
     if_bandwidth_hz,
     af_bandwidth_hz,
     mode,
+    af_gain_db=0,
+    squelch_db=0,
 ) -> ChannelizedParams:
     """Build parameters from per-receiver control values (scalar or
     length-``num_channels`` sequences)."""
@@ -132,6 +136,8 @@ def make_channelized_params(
     ifbws = expand(if_bandwidth_hz)
     afbws = expand(af_bandwidth_hz)
     modes = expand(mode)
+    gains = expand(af_gain_db)
+    squelches = expand(squelch_db)
     if not (len(ifs) == len(ifbws) == len(afbws) == len(modes) == c):
         raise ValueError("parameter lists must match num_channels")
 
@@ -160,6 +166,10 @@ def make_channelized_params(
         chan_coeff=jnp.asarray(chan),
         audio_coeff=jnp.asarray(audio),
         mode=jnp.asarray(mode_idx),
+        af_gain=jnp.asarray(
+            np.power(10.0, np.array(gains, np.float32) / 20.0)
+        ).astype(jnp.float32),
+        squelch=jnp.asarray(np.array(squelches, np.float32)),
     )
 
 
@@ -217,6 +227,10 @@ def channelized_step(
     audio, audio_hist = ops.fir_decimate(
         audio_if, params.audio_coeff, cfg.audio_decim, state.audio_hist
     )
+    from .frontend import _apply_gain_squelch
+
+    audio = _apply_gain_squelch(audio, chan_in, params.af_gain,
+                                params.squelch)
 
     new_state = ChannelizedState(
         pfb_hist=pfb_hist,

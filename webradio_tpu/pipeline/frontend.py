@@ -22,6 +22,20 @@ from .. import ops
 from .state import ChainConfig, FrontEndParams, FrontEndState, ReceiverState
 
 
+def _apply_gain_squelch(audio, chan_iq, af_gain, squelch_db):
+    """AF gain + power squelch — implemented for real (the reference
+    surfaces both in its API but never applies them,
+    receiverhandler.cxx:118-119). The gate compares the channel's mean
+    post-filter IQ power over the block to the threshold; 0 dB (the
+    reference's constant) disables the gate.
+    """
+    power = jnp.mean(chan_iq[0] ** 2 + chan_iq[1] ** 2, axis=-1)  # [C]
+    power_db = 10.0 * jnp.log10(jnp.maximum(power, 1e-30))
+    gate = jnp.logical_or(squelch_db >= 0.0, power_db >= squelch_db)
+    scale = af_gain * gate.astype(jnp.float32)
+    return audio * scale[:, None]
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
 def frontend_step(
     cfg: ChainConfig,
@@ -59,6 +73,7 @@ def frontend_step(
     audio, audio_hist = fir(
         audio_if, rxp.audio_coeff, cfg.audio_decim, rxs.audio_hist
     )
+    audio = _apply_gain_squelch(audio, chan, rxp.af_gain, rxp.squelch)
 
     new_state = FrontEndState(
         rx=ReceiverState(

@@ -78,6 +78,8 @@ class ReceiverParams(NamedTuple):
     chan_coeff: jnp.ndarray  # [C, K] float32 — channel FIR
     audio_coeff: jnp.ndarray  # [C, K] float32 — audio FIR
     mode: jnp.ndarray  # [C] int32 — demodulator law
+    af_gain: jnp.ndarray  # [C] float32 — linear audio gain
+    squelch: jnp.ndarray  # [C] float32 — power gate threshold (dB; 0 = off)
 
 
 class ReceiverState(NamedTuple):
@@ -109,6 +111,8 @@ def make_receiver_params(
     if_bandwidth_hz,
     af_bandwidth_hz,
     mode,
+    af_gain_db=0,
+    squelch_db=0,
 ) -> FrontEndParams:
     """Build the parameter pytree from per-receiver control values.
 
@@ -125,6 +129,8 @@ def make_receiver_params(
     ifbws = expand(if_bandwidth_hz)
     afbws = expand(af_bandwidth_hz)
     modes = expand(mode)
+    gains = expand(af_gain_db)
+    squelches = expand(squelch_db)
     if not (len(ifs) == len(ifbws) == len(afbws) == len(modes) == c):
         raise ValueError("parameter lists must match num_channels")
 
@@ -153,6 +159,10 @@ def make_receiver_params(
             chan_coeff=jnp.asarray(chan),
             audio_coeff=jnp.asarray(audio),
             mode=jnp.asarray(mode_idx),
+            af_gain=jnp.asarray(
+                np.power(10.0, np.array(gains, np.float32) / 20.0)
+            ).astype(jnp.float32),
+            squelch=jnp.asarray(np.array(squelches, np.float32)),
         )
     )
 

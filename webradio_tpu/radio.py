@@ -77,8 +77,10 @@ class Receiver:
         self.if_frequency = 0
         self.if_bandwidth = 80_000
         self.af_bandwidth = 8_000
-        self.af_gain = 0  # surfaced but inert, like receiverhandler.cxx:119
-        self.squelch_threshold = 0
+        # both functional here (dB); the reference surfaces them as
+        # constant 0 stubs (receiverhandler.cxx:118-119)
+        self.af_gain = 0
+        self.squelch_threshold = 0  # 0 disables the gate
         self.demodulator = "AM"
         self.front_end: "FrontEnd | None" = None
         Radio.receivers[self.uuid] = self
@@ -99,7 +101,8 @@ class Receiver:
         return True
 
     def update(self, *, if_frequency=None, if_bandwidth=None,
-               af_bandwidth=None, demodulator=None) -> bool:
+               af_bandwidth=None, demodulator=None, af_gain=None,
+               squelch_threshold=None) -> bool:
         """Apply a control write (PUT /receivers/<id>,
         receiverhandler.cxx:125-140). Returns False on bad demod mode."""
         if if_frequency is not None:
@@ -108,6 +111,10 @@ class Receiver:
             self.if_bandwidth = int(if_bandwidth)
         if af_bandwidth is not None:
             self.af_bandwidth = int(af_bandwidth)
+        if af_gain is not None:
+            self.af_gain = int(af_gain)
+        if squelch_threshold is not None:
+            self.squelch_threshold = int(squelch_threshold)
         if demodulator is not None:
             if demodulator not in MODES:
                 return False
@@ -197,15 +204,19 @@ class FrontEnd:
         """Compile control-plane settings into the step's parameter pytree
         (picked up at the next block; no recompilation)."""
         ifs, ifbw, afbw, modes = [], [], [], []
+        gains, squelches = [], []
         for slot in self._slots:
             if slot is None:
                 ifs.append(0); ifbw.append(80_000)
                 afbw.append(8_000); modes.append("AM")
+                gains.append(0); squelches.append(0)
             else:
                 ifs.append(slot.if_frequency)
                 ifbw.append(slot.if_bandwidth)
                 afbw.append(slot.af_bandwidth)
                 modes.append(slot.demodulator)
+                gains.append(slot.af_gain)
+                squelches.append(slot.squelch_threshold)
         if self._use_channelized():
             ccfg = ChannelizedConfig(
                 sample_rate=self.cfg.sample_rate,
@@ -215,13 +226,15 @@ class FrontEnd:
                 num_channels=self.cfg.num_channels,
                 fft_size=self.cfg.fft_size,
             )
-            params = make_channelized_params(ccfg, ifs, ifbw, afbw, modes)
+            params = make_channelized_params(ccfg, ifs, ifbw, afbw, modes,
+                                             gains, squelches)
             if self.pipeline is None:
                 self.pipeline = ChannelizedPipeline(ccfg, params)
             else:
                 self.pipeline.update_params(params)
         else:
-            params = make_receiver_params(self.cfg, ifs, ifbw, afbw, modes)
+            params = make_receiver_params(self.cfg, ifs, ifbw, afbw, modes,
+                                          gains, squelches)
             if self.pipeline is None:
                 self.pipeline = FrontEndPipeline(self.cfg, params)
             else:

@@ -235,8 +235,8 @@ def _receiver_info(rx) -> dict:
         "if_frequency": rx.if_frequency,
         "if_bandwidth": rx.if_bandwidth,
         "af_bandwidth": rx.af_bandwidth,
-        "af_gain": 0,
-        "squelch_threshold": 0,
+        "af_gain": rx.af_gain,
+        "squelch_threshold": rx.squelch_threshold,
         "demodulator": rx.demodulator,
     }
 
@@ -276,6 +276,8 @@ class ReceiverHandler(HttpRequestHandler):
             if_bandwidth=root.get("if_bandwidth"),
             af_bandwidth=root.get("af_bandwidth"),
             demodulator=root.get("demodulator"),
+            af_gain=root.get("af_gain"),
+            squelch_threshold=root.get("squelch_threshold"),
         )
         self.content_type = "application/json"
         return HTTP_NO_CONTENT if ok else HTTP_BAD_REQUEST
