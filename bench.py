@@ -33,7 +33,10 @@ import tempfile
 import time
 
 STEPS = 20
-DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", "480"))
+#: absolute wall-clock cap; progress (new results, or the worker reporting
+#: the transfer warm-up finished) extends the soft deadline up to this
+DEADLINE_S = int(os.environ.get("BENCH_DEADLINE_S", "900"))
+PROGRESS_GRACE_S = 240
 
 
 # ---------------------------------------------------------------------------
@@ -86,6 +89,11 @@ def worker(out_path: str) -> None:
     iq = jax.device_put(
         jnp.asarray(rng.standard_normal((2, 102_400)).astype(np.float32)), dev
     )
+    # absorb the session's first device->host transfer (can take minutes on
+    # tunneled backends) before any timed region, and tell the parent
+    t0 = time.time()
+    jax.device_get(jnp.sum(iq))
+    emit(kind="warm", seconds=round(time.time() - t0, 1))
 
     def checksum(audio, spectra):
         return jnp.sum(audio[:, 0]) + jnp.sum(spectra[0, 0, 0])
@@ -141,12 +149,26 @@ def main() -> None:
         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         start_new_session=True,
     )
-    deadline = time.time() + DEADLINE_S
+    start = time.time()
+    soft_deadline = start + PROGRESS_GRACE_S
     done = False
-    while time.time() < deadline:
+    last_size = 0
+    while True:
         if child.poll() is not None:
             done = True
             break
+        now = time.time()
+        if now > start + DEADLINE_S:
+            break  # absolute cap
+        try:
+            size = os.path.getsize(path)
+        except OSError:
+            size = 0
+        if size != last_size:
+            last_size = size
+            soft_deadline = now + PROGRESS_GRACE_S
+        elif size > 0 and now > soft_deadline:
+            break  # produced something, then stalled
         time.sleep(2.0)
     if not done:
         # tunnel wedged or overran: take what we have (SIGKILL the exact
