@@ -1,0 +1,112 @@
+"""Standalone application topologies (own Radio lifecycle per test)."""
+
+import http.client
+import json
+import time
+
+import numpy as np
+
+from webradio_tpu.radio import Radio
+from webradio_tpu.web.audiostream import AudioStreamManager
+from test_web import request
+
+
+def test_channelized_engine_live(tmp_path):
+    """A front end with engine=channelized serves audio end-to-end."""
+    from webradio_tpu.app import RadioApp
+
+    Radio.reset()
+    AudioStreamManager.reset()
+    config = {
+        "server": {"port": 0, "host": "127.0.0.1", "html": "html"},
+        "tuners": [
+            {
+                "driver": "tone",
+                "sample_rate": 256_000,
+                "channel_rate": 32_000,
+                "audio_rate": 8_000,
+                "block_frames": 8_192,
+                "capacity": 2,
+                "engine": "channelized",
+            }
+        ],
+        "receivers": [{"tuner": 0, "if_frequency": 0, "demodulator": "AM"}],
+    }
+    a = RadioApp(config)
+    try:
+        assert a.start()
+        deadline = time.time() + 60
+        while a.front_ends[0].block_count < 3 and time.time() < deadline:
+            time.sleep(0.05)
+        assert a.front_ends[0].block_count >= 3
+        status, _, data = request(a, "GET", "/status")
+        assert json.loads(data)["front_ends"][a.front_ends[0].uuid][
+            "engine"] == "channelized"
+        # audio carries the 1 kHz AM tone through the filterbank path
+        conn = http.client.HTTPConnection("127.0.0.1", a.server.port,
+                                          timeout=30)
+        conn.request("GET", f"/audio/{a.receivers[0].uuid}.wav")
+        resp = conn.getresponse()
+        chunks = b""
+        while len(chunks) < 44 + 8_000:
+            c = resp.read(4096)
+            if not c:
+                break
+            chunks += c
+        conn.close()
+        pcm = np.frombuffer(chunks[44:44 + (len(chunks) - 44) // 2 * 2],
+                            dtype="<i2").astype(np.float32) / 32768
+        x = pcm - pcm.mean()
+        f = np.fft.rfftfreq(len(x), 1 / 8_000)
+        mag = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+        lo = np.searchsorted(f, 100)
+        assert abs(f[lo + mag[lo:].argmax()] - 1_000) < 20
+    finally:
+        a.close()
+        AudioStreamManager.reset()
+
+
+def test_multi_tuner_topology():
+    """Two tuners, receivers on each — the M-tuners/N-receivers shape the
+    reference architecture supports but never ships (README:8-10)."""
+    from webradio_tpu.app import RadioApp
+
+    Radio.reset()
+    AudioStreamManager.reset()
+    tcfg = {
+        "driver": "tone", "sample_rate": 256_000, "channel_rate": 32_000,
+        "audio_rate": 8_000, "block_frames": 8_192, "capacity": 2,
+    }
+    config = {
+        "server": {"port": 0, "host": "127.0.0.1"},
+        "tuners": [dict(tcfg), dict(tcfg, centre_frequency=7_000_000)],
+        "receivers": [
+            {"tuner": 0, "if_frequency": 0, "demodulator": "AM"},
+            {"tuner": 1, "if_frequency": 100_000, "demodulator": "FM"},
+            {"tuner": 1, "if_frequency": 0, "demodulator": "AM"},
+        ],
+    }
+    a = RadioApp(config)
+    try:
+        assert a.start()
+        deadline = time.time() + 60
+        while (min(fe.block_count for fe in a.front_ends) < 2
+               and time.time() < deadline):
+            time.sleep(0.05)
+        assert all(fe.block_count >= 2 for fe in a.front_ends)
+        _, _, data = request(a, "GET", "/tuners")
+        assert len(json.loads(data)) == 2
+        fe1 = a.front_ends[1]
+        _, _, data = request(a, "GET", f"/receivers?tuner_id={fe1.uuid}")
+        assert len(json.loads(data)) == 2
+        # each front end serves its own waterfall
+        for fe in a.front_ends:
+            status, _, data = request(app=a, method="GET",
+                                      path=f"/tuners/{fe.uuid}/waterfall")
+            assert status == 200
+            assert max(json.loads(data)["data"]) > -10000
+    finally:
+        a.close()
+        AudioStreamManager.reset()
+
+

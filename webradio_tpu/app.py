@@ -25,6 +25,7 @@ from .web.handlers import (
     ConfigHandler,
     FileHandler,
     RedirectHandler,
+    PeaksHandler,
     ReceiverHandler,
     StatusHandler,
     TunerControlHandler,
@@ -206,6 +207,7 @@ class RadioApp:
         srv.register_handler("tuners", TunerHandler)
         srv.register_handler("tuners/*", TunerHandler)
         srv.register_handler("tuners/*/control", TunerControlHandler)
+        srv.register_handler("tuners/*/peaks", PeaksHandler)
         srv.register_handler("tuners/*/waterfall", WaterfallHandler)
         srv.register_handler(
             "tuners/*/receivers", RedirectHandler, "/receivers?tuner_id=$1"

@@ -347,6 +347,49 @@ class WaterfallHandler(HttpRequestHandler):
         )
 
 
+class PeaksHandler(HttpRequestHandler):
+    """GET /tuners/<uuid>/peaks — strongest spectral peaks.
+
+    The reference *advertises* this URL in its tuner JSON
+    (tunerhandler.cxx:80) but ships no PeaksHandler (the route is
+    commented out, main.cxx:100). Implemented here: local maxima of the
+    latest spectrum, strongest first, as absolute frequencies.
+    ``?count=N`` limits the list (default 10), ``?min_db=X`` filters.
+    """
+
+    def do_get(self, wildcards, body) -> int:
+        fe = Radio.front_ends.get(wildcards[0])
+        if fe is None:
+            return HTTP_NOT_FOUND
+        import numpy as np
+
+        spectrum = fe.get_spectrum_db()
+        n = len(spectrum)
+        fs = fe.tuner.sample_rate
+        centre = fe.tuner.centre_frequency
+        try:
+            count = int(self.query.get("count", 10))
+            min_db = float(self.query.get("min_db", "-1e9"))
+        except ValueError:
+            return HTTP_BAD_REQUEST
+        inner = spectrum[1:-1]
+        is_peak = (inner > spectrum[:-2]) & (inner >= spectrum[2:]) & (
+            inner >= min_db) & np.isfinite(inner)
+        idx = np.nonzero(is_peak)[0] + 1
+        idx = idx[np.argsort(spectrum[idx])[::-1]][:count]
+        peaks = [
+            {
+                "frequency": int(centre + (int(i) - n // 2) * fs / n),
+                "level_db": round(float(spectrum[i]), 2),
+                "bin": int(i),
+            }
+            for i in idx
+        ]
+        return self.send_json(
+            {"centre_frequency": centre, "sample_rate": fs, "peaks": peaks}
+        )
+
+
 class AudioStreamHandler(HttpRequestHandler):
     """GET /audio/<mountpoint>.<ext> — persistent chunked stream
     (audiostream.cxx:140-183). The reference supports only mp3; wav is a
