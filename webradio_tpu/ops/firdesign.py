@@ -10,6 +10,8 @@ with a race-free parameter handoff at block boundaries (SURVEY §3.5).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from .window import hamming
@@ -51,3 +53,23 @@ def design_lowpass_fir(
     shift = np.arange(n)
     reordered = impulse[(shift + n // 2) & (n - 1)].real.astype(np.float32)
     return reordered * (hamming(n) / np.float32(n))
+
+
+@functools.lru_cache(maxsize=512)
+def _design_cached(passband_hz: int, input_rate_hz: int, fir_length: int):
+    out = design_lowpass_fir(passband_hz, input_rate_hz, fir_length)
+    out.setflags(write=False)
+    return out
+
+
+def design_lowpass_fir_cached(
+    passband_hz: int, input_rate_hz: int, fir_length: int = FIR_LENGTH
+) -> np.ndarray:
+    """Memoized :func:`design_lowpass_fir` (read-only array).
+
+    Control-plane rebuilds design one FIR per channel; at thousands of
+    channels most share a handful of bandwidths, so the cache turns a
+    per-PUT O(C) design pass into O(distinct bandwidths).
+    """
+    return _design_cached(int(passband_hz), int(input_rate_hz),
+                          int(fir_length))

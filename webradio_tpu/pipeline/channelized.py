@@ -37,7 +37,7 @@ from ..ops.channelizer import (
     pfb_channelize_direct,
 )
 from ..ops.demod import MODES
-from ..ops.firdesign import FIR_LENGTH, design_lowpass_fir
+from ..ops.firdesign import FIR_LENGTH, design_lowpass_fir_cached
 from ..ops.nco import nco_phase_step
 from ..ops.spectrum import DEFAULT_FFT_SIZE
 import functools
@@ -149,11 +149,11 @@ def make_channelized_params(
         dtype=np.uint32,
     )
     chan = np.stack(
-        [design_lowpass_fir(bw, cfg.channel_rate, cfg.fir_length)
+        [design_lowpass_fir_cached(bw, cfg.channel_rate, cfg.fir_length)
          for bw in ifbws]
     )
     audio = np.stack(
-        [design_lowpass_fir(bw, cfg.channel_rate, cfg.fir_length)
+        [design_lowpass_fir_cached(bw, cfg.channel_rate, cfg.fir_length)
          for bw in afbws]
     )
     mode_idx = np.array(

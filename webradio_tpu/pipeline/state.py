@@ -16,7 +16,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.firdesign import FIR_LENGTH, design_lowpass_fir
+from ..ops.firdesign import FIR_LENGTH, design_lowpass_fir_cached
 from ..ops.nco import nco_phase_step
 from ..ops.demod import MODES
 from ..ops.spectrum import DEFAULT_FFT_SIZE
@@ -139,13 +139,13 @@ def make_receiver_params(
     )
     chan = np.stack(
         [
-            design_lowpass_fir(bw, cfg.sample_rate, cfg.fir_length)
+            design_lowpass_fir_cached(bw, cfg.sample_rate, cfg.fir_length)
             for bw in ifbws
         ]
     )
     audio = np.stack(
         [
-            design_lowpass_fir(bw, cfg.channel_rate, cfg.fir_length)
+            design_lowpass_fir_cached(bw, cfg.channel_rate, cfg.fir_length)
             for bw in afbws
         ]
     )
