@@ -80,15 +80,39 @@ def fir_decimate(
     xext = jnp.concatenate([history, x], axis=-1)  # [..., N + K - 1]
     kernel = jnp.flip(coeff, axis=-1).astype(jnp.float32)
 
-    span = (nd - 1) * decimation + 1
-    acc = jnp.zeros(x.shape[:-1] + (nd,), jnp.float32)
-    for tap in range(k):
-        seg = lax.slice_in_dim(xext, tap, tap + span, stride=decimation, axis=-1)
+    def wk(tap):
         if kernel.ndim == 1:
-            acc = acc + kernel[tap] * seg
-        else:
-            # [C, K] -> [C, 1] broadcasts over [..., C, nd]
-            acc = acc + kernel[..., tap : tap + 1] * seg
+            return kernel[tap]
+        return kernel[..., tap : tap + 1]  # [C, 1] broadcasts
+
+    if decimation == 1:
+        acc = jnp.zeros(x.shape[:-1] + (nd,), jnp.float32)
+        for tap in range(k):
+            acc = acc + wk(tap) * lax.slice_in_dim(xext, tap, tap + nd,
+                                                   axis=-1)
+    else:
+        # Phase decomposition: one strided-access relayout instead of K.
+        # TPU lane-strided slices are extremely slow (measured ~3x the
+        # cost of a full decim-1 pass per 64 taps); instead reshape the
+        # extended block into D phase rows once —
+        #   P[..., p, m] = xext[m * D + p]
+        # — and every tap k = q*D + p becomes a plain contiguous slice
+        # P[..., p, q : q + nd].
+        d = decimation
+        pad = (-(n + k - 1)) % d
+        xpad = jnp.pad(xext, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+        l = xpad.shape[-1]
+        phases = jnp.swapaxes(
+            xpad.reshape(x.shape[:-1] + (l // d, d)), -1, -2
+        )  # [..., D, L/D]
+        acc = jnp.zeros(x.shape[:-1] + (nd,), jnp.float32)
+        for tap in range(k):
+            q, p = divmod(tap, d)
+            seg = lax.slice_in_dim(
+                lax.index_in_dim(phases, p, axis=-2, keepdims=False),
+                q, q + nd, axis=-1,
+            )
+            acc = acc + wk(tap) * seg
     new_history = x[..., n - (k - 1):]
     return acc, new_history
 
