@@ -220,6 +220,11 @@ class RadioApp:
         srv.register_handler(
             "receivers/*/audio.wav", RedirectHandler, "/audio/$1.wav"
         )
+        # route parity with main.cxx:106 — the target 404s (no Vorbis
+        # encoder), exactly as in the reference
+        srv.register_handler(
+            "receivers/*/audio.ogg", RedirectHandler, "/audio/$1.ogg"
+        )
         self.server = srv
         return srv
 
