@@ -67,8 +67,6 @@ def main(argv=None) -> int:
     from .pipeline.stream import run_capture
     from .pipeline.channelized import (
         ChannelizedConfig,
-        channelized_step,
-        init_channelized_state,
         make_channelized_params,
     )
 
@@ -91,6 +89,8 @@ def main(argv=None) -> int:
     iq = jnp.asarray(np.stack([data.real, data.imag]).astype(np.float32))
 
     if args.engine == "channelized":
+        from .pipeline.stream import run_capture_channelized
+
         cfg = ChannelizedConfig(
             sample_rate=args.rate, channel_rate=channel_rate,
             audio_rate=args.audio_rate, block_frames=block,
@@ -98,15 +98,8 @@ def main(argv=None) -> int:
         )
         params = make_channelized_params(cfg, ifs, args.if_bw, args.af_bw,
                                          modes)
-        state = init_channelized_state(cfg)
-        n_blocks = iq.shape[-1] // block
-        outs = []
-        for b in range(n_blocks):
-            state, audio, _ = channelized_step(
-                cfg, params, state, iq[:, b * block : (b + 1) * block]
-            )
-            outs.append(np.asarray(audio))
-        audio = np.concatenate(outs, axis=-1)
+        _, audio, _ = run_capture_channelized(cfg, params, iq)
+        audio = np.asarray(audio)
     else:
         cfg = ChainConfig(
             sample_rate=args.rate, channel_rate=channel_rate,

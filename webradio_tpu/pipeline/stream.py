@@ -66,3 +66,37 @@ def run_capture(
     # [num_blocks, C, audio_frames] -> [C, total_audio]
     audio = jnp.moveaxis(audio, 0, 1).reshape(cfg.num_channels, -1)
     return final, audio, latest
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _scan_capture_channelized(cfg, params, state, blocks):
+    from .channelized import channelized_step
+
+    def body(carry, iq):
+        new_state, audio, spectra = channelized_step(cfg, params, carry, iq)
+        return new_state, (audio, spectra[:, spectra.shape[1] - 1, :])
+
+    final, (audio, latest) = jax.lax.scan(body, state, blocks)
+    return final, audio, latest
+
+
+def run_capture_channelized(cfg, params, iq: jax.Array, state=None):
+    """Channelized-engine counterpart of :func:`run_capture` (same
+    contract; ``cfg`` is a ChannelizedConfig)."""
+    from .channelized import init_channelized_state
+
+    n_blocks = iq.shape[-1] // cfg.block_frames
+    if n_blocks == 0:
+        raise ValueError("capture shorter than one block")
+    blocks = jnp.moveaxis(
+        iq[:, : n_blocks * cfg.block_frames].reshape(
+            2, n_blocks, cfg.block_frames
+        ),
+        1,
+        0,
+    )
+    if state is None:
+        state = init_channelized_state(cfg)
+    final, audio, latest = _scan_capture_channelized(cfg, params, state, blocks)
+    audio = jnp.moveaxis(audio, 0, 1).reshape(cfg.num_channels, -1)
+    return final, audio, latest
