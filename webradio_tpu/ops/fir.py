@@ -45,6 +45,13 @@ def _check_block(n: int, decimation: int) -> None:
         )
 
 
+#: Above this many elements per (channel x time) plane, the K-tap unroll is
+#: evaluated in static channel chunks: one fusion with K shifted reads of a
+#: >300 MB operand overwhelms some TPU compile services (observed at
+#: C=8192, N=10240), and chunking costs nothing at these sizes.
+_CHUNK_ELEMS = 48_000_000
+
+
 @functools.partial(jax.jit, static_argnames=("decimation",))
 def fir_decimate(
     x: jax.Array,
@@ -76,6 +83,31 @@ def fir_decimate(
     k = coeff.shape[-1]
     n = x.shape[-1]
     _check_block(n, decimation)
+
+    # very large channel batches: split the channel axis into static
+    # chunks so each fusion's operands stay a sane size
+    if (
+        x.ndim >= 2
+        and coeff.ndim > 1
+        and x.shape[-2] == coeff.shape[0]
+        and x.shape[-2] * n > _CHUNK_ELEMS
+        and x.shape[-2] % 2 == 0
+    ):
+        c = x.shape[-2]
+        groups = 2
+        while (c // groups) * n > _CHUNK_ELEMS and (c // groups) % 2 == 0:
+            groups *= 2
+        step = c // groups
+        ys, hs = [], []
+        for g in range(groups):
+            sl = slice(g * step, (g + 1) * step)
+            y, h = fir_decimate(
+                x[..., sl, :], coeff[sl], decimation, history[..., sl, :]
+            )
+            ys.append(y)
+            hs.append(h)
+        return jnp.concatenate(ys, axis=-2), jnp.concatenate(hs, axis=-2)
+
     nd = n // decimation
     xext = jnp.concatenate([history, x], axis=-1)  # [..., N + K - 1]
     kernel = jnp.flip(coeff, axis=-1).astype(jnp.float32)
