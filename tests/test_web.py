@@ -378,3 +378,14 @@ def test_peaks_endpoint(app):
     # levels sorted strongest-first
     levels = [p["level_db"] for p in root["peaks"]]
     assert levels == sorted(levels, reverse=True)
+
+
+def test_missing_host_header_rejected(app):
+    """The reference requires a Host header (httpserver.cxx:127-135)."""
+    import socket
+
+    s = socket.create_connection(("127.0.0.1", app.server.port), timeout=10)
+    s.sendall(b"GET /config HTTP/1.0\r\n\r\n")
+    data = s.recv(200)
+    s.close()
+    assert b"400" in data.split(b"\r\n")[0]

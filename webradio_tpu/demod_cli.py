@@ -88,6 +88,23 @@ def main(argv=None) -> int:
     )
     iq = jnp.asarray(np.stack([data.real, data.imag]).astype(np.float32))
 
+    try:
+        return _run(args, parser, ifs, modes, iq, channel_rate, block)
+    except ValueError as e:
+        parser.error(str(e))
+
+
+def _run(args, parser, ifs, modes, iq, channel_rate, block):
+    import numpy as np
+
+    from .io.soundcard import FileAudioSink
+    from .pipeline import ChainConfig, make_receiver_params
+    from .pipeline.stream import run_capture
+    from .pipeline.channelized import (
+        ChannelizedConfig,
+        make_channelized_params,
+    )
+
     if args.engine == "channelized":
         from .pipeline.stream import run_capture_channelized
 
