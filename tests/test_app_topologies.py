@@ -110,3 +110,68 @@ def test_multi_tuner_topology():
         AudioStreamManager.reset()
 
 
+
+
+def test_sharded_engine_live():
+    """engine=sharded serves audio end-to-end over the virtual 8-device
+    (time, chan) mesh — the whole production serving path, sharded."""
+    from webradio_tpu.app import RadioApp
+
+    Radio.reset()
+    AudioStreamManager.reset()
+    config = {
+        "server": {"port": 0, "host": "127.0.0.1"},
+        "tuners": [
+            {
+                "driver": "tone",
+                "sample_rate": 1_024_000,
+                "channel_rate": 128_000,
+                "audio_rate": 32_000,
+                "block_frames": 16_384,
+                "capacity": 8,
+                "engine": "sharded",
+            }
+        ],
+        "receivers": [{"tuner": 0, "if_frequency": 0, "demodulator": "AM"}],
+    }
+    a = RadioApp(config)
+    try:
+        assert a.start()
+        deadline = time.time() + 90
+        while a.front_ends[0].block_count < 3 and time.time() < deadline:
+            time.sleep(0.05)
+        assert a.front_ends[0].block_count >= 3
+        from webradio_tpu.parallel.sharded_channelized import (
+            ShardedChannelizedFrontEnd,
+        )
+
+        assert isinstance(a.front_ends[0].pipeline, ShardedChannelizedFrontEnd)
+        # live audio through the sharded path: 1 kHz AM tone
+        conn = http.client.HTTPConnection("127.0.0.1", a.server.port,
+                                          timeout=60)
+        conn.request("GET", f"/audio/{a.receivers[0].uuid}.wav")
+        resp = conn.getresponse()
+        chunks = b""
+        while len(chunks) < 44 + 32_000:
+            c = resp.read(4096)
+            if not c:
+                break
+            chunks += c
+        conn.close()
+        pcm = np.frombuffer(chunks[44:44 + (len(chunks) - 44) // 2 * 2],
+                            dtype="<i2").astype(np.float32) / 32768
+        x = pcm - pcm.mean()
+        f = np.fft.rfftfreq(len(x), 1 / 32_000)
+        mag = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+        lo = np.searchsorted(f, 100)
+        assert abs(f[lo + mag[lo:].argmax()] - 1_000) < 20
+        # waterfall also flows from the sharded step
+        conn = http.client.HTTPConnection("127.0.0.1", a.server.port,
+                                          timeout=30)
+        conn.request("GET", f"/tuners/{a.front_ends[0].uuid}/waterfall")
+        wf = json.loads(conn.getresponse().read())
+        conn.close()
+        assert max(wf["data"]) > -10000
+    finally:
+        a.close()
+        AudioStreamManager.reset()

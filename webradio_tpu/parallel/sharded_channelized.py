@@ -180,3 +180,38 @@ class ShardedChannelizedFrontEnd:
     def process(self, iq: jax.Array):
         self.state, audio, spectra = self._step(self.params, self.state, iq)
         return audio, spectra
+
+    # ---- live-server interface (same contract as FrontEndPipeline) ----
+    _pending = None
+
+    def process_host(self, iq_planes):
+        import numpy as np
+
+        from .. import ops
+
+        iq = jnp.asarray(np.ascontiguousarray(iq_planes, np.float32))
+        self.state, audio, spectra = self._step(self.params, self.state, iq)
+        latest_db = ops.spectrum_db(spectra[:, spectra.shape[1] - 1, :])
+        result = None
+        if self._pending is not None:
+            result = jax.device_get(self._pending)
+        self._pending = (audio, latest_db)
+        return result
+
+    def flush(self):
+        result = None
+        if self._pending is not None:
+            result = jax.device_get(self._pending)
+            self._pending = None
+        return result
+
+    def process_host_sync(self, iq_planes):
+        out = self.process_host(iq_planes)
+        tail = self.flush()
+        return tail if out is None else out
+
+    def reset(self) -> None:
+        from ..pipeline.channelized import init_channelized_state
+
+        self.state = init_channelized_state(self.cfg)
+        self._pending = None

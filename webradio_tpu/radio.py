@@ -194,7 +194,7 @@ class FrontEnd:
 
     # ---- parameters ------------------------------------------------
     def _use_channelized(self) -> bool:
-        if self.engine == "channelized":
+        if self.engine in ("channelized", "sharded"):
             return True
         if self.engine == "direct":
             return False
@@ -229,7 +229,25 @@ class FrontEnd:
             params = make_channelized_params(ccfg, ifs, ifbw, afbw, modes,
                                              gains, squelches)
             if self.pipeline is None:
-                self.pipeline = ChannelizedPipeline(ccfg, params)
+                if self.engine == "sharded":
+                    # mesh over every visible device: channels data-
+                    # parallel, remaining factors on the time axis
+                    import jax
+
+                    from .parallel import make_mesh, mesh_shape_for
+                    from .parallel.sharded_channelized import (
+                        ShardedChannelizedFrontEnd,
+                    )
+
+                    t, c = mesh_shape_for(
+                        len(jax.devices()), ccfg.num_channels,
+                        ccfg.block_frames, ccfg.fft_size,
+                    )
+                    self.pipeline = ShardedChannelizedFrontEnd(
+                        ccfg, params, make_mesh(t, c)
+                    )
+                else:
+                    self.pipeline = ChannelizedPipeline(ccfg, params)
             else:
                 self.pipeline.update_params(params)
         else:
