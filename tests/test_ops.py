@@ -179,6 +179,62 @@ class TestFirDecimate:
             ops.fir_decimate(x, coeff, 10, jnp.zeros((2, 1, 63)))
 
 
+class TestFirToeplitz:
+    """MXU Toeplitz form vs the direct strided-MAC form (same contract)."""
+
+    @pytest.mark.parametrize("decim,tile", [(1, 128), (1, 64), (5, 32), (10, 16)])
+    def test_matches_direct(self, rng, decim, tile):
+        coeff = oracle.design_lowpass_fir(600_000, 2_400_000)
+        n = 640 * decim
+        x = jnp.asarray(rng.standard_normal((2, 3, n)).astype(np.float32))
+        hist = jnp.asarray(rng.standard_normal((2, 3, 63)).astype(np.float32))
+
+        y_ref, h_ref = ops.fir_decimate(x, jnp.asarray(coeff), decim, hist)
+        w = jnp.asarray(ops.toeplitz_weights(coeff, decim, tile))
+        y, h = ops.fir_decimate_toeplitz(x, w, decim, hist)
+
+        assert y.shape == y_ref.shape
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=3e-6)
+        np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=0)
+
+    def test_block_split_invariance(self, rng):
+        """Streaming with history carry: whole capture == two halves."""
+        coeff = oracle.design_lowpass_fir(80_000, 240_000)
+        w = jnp.asarray(ops.toeplitz_weights(coeff, 1, 64))
+        x = jnp.asarray(rng.standard_normal((2, 1, 2560)).astype(np.float32))
+        h0 = jnp.zeros((2, 1, 63), jnp.float32)
+
+        y_once, _ = ops.fir_decimate_toeplitz(x, w, 1, h0)
+        y1, h = ops.fir_decimate_toeplitz(x[..., :1280], w, 1, h0)
+        y2, _ = ops.fir_decimate_toeplitz(x[..., 1280:], w, 1, h)
+        np.testing.assert_allclose(
+            np.asarray(y_once),
+            np.concatenate([np.asarray(y1), np.asarray(y2)], -1),
+            atol=3e-6,
+        )
+
+    def test_tile_mismatch_rejected(self):
+        coeff = oracle.design_lowpass_fir(80_000, 240_000)
+        w = jnp.asarray(ops.toeplitz_weights(coeff, 1, 128))
+        x = jnp.zeros((2, 1, 192), jnp.float32)
+        with pytest.raises(ValueError):
+            ops.fir_decimate_toeplitz(x, w, 1, jnp.zeros((2, 1, 63)))
+
+    def test_params_carry_toeplitz_only_when_shared(self):
+        from webradio_tpu.pipeline import ChainConfig, make_receiver_params
+
+        cfg = ChainConfig(num_channels=2, block_frames=12_800)
+        shared = make_receiver_params(cfg, [0, 10_000], 80_000, 8_000, "FM")
+        assert shared.rx.chan_toep is not None
+        assert shared.rx.audio_toep is not None
+
+        mixed_bw = make_receiver_params(
+            cfg, [0, 10_000], [80_000, 40_000], 8_000, "FM"
+        )
+        assert mixed_bw.rx.chan_toep is None
+        assert mixed_bw.rx.audio_toep is not None
+
+
 class TestOverlapSave:
     @pytest.mark.parametrize("decim,n,seg", [(1, 8192, 1024), (10, 8000, 1000)])
     def test_matches_direct(self, rng, decim, n, seg):

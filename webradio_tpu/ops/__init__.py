@@ -28,7 +28,14 @@ Block-based equivalents of the reference's sample-at-a-time loops:
 from . import nco
 from .window import hamming
 from .firdesign import design_lowpass_fir
-from .fir import fir_decimate, fir_decimate_streaming, overlap_save_decimate
+from .fir import (
+    fir_decimate,
+    fir_decimate_streaming,
+    fir_decimate_toeplitz,
+    overlap_save_decimate,
+    toeplitz_tile,
+    toeplitz_weights,
+)
 from .nco import nco_phase_step, nco_mix, nco_advance
 from .demod import MODES, MODE_AM, MODE_FM, MODE_USB, MODE_LSB, demodulate
 from .spectrum import spectrum_accumulate, spectrum_db, dft_matrices
@@ -39,7 +46,10 @@ __all__ = [
     "design_lowpass_fir",
     "fir_decimate",
     "fir_decimate_streaming",
+    "fir_decimate_toeplitz",
     "overlap_save_decimate",
+    "toeplitz_tile",
+    "toeplitz_weights",
     "nco",
     "nco_phase_step",
     "nco_mix",

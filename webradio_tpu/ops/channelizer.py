@@ -122,13 +122,22 @@ def pfb_channelize(
 
     xext = jnp.concatenate([history, x], axis=-1)  # [2, N + K_p - 1]
 
-    # im2col: F[., m, k] = xext[., (K_p - 1) + m D - k]
-    # -> static strided slice per tap k, starting at (K_p - 1 - k)
-    span = (nd - 1) * d + 1
-    frames = [
-        lax.slice_in_dim(xext, kp - 1 - k, kp - 1 - k + span, stride=d, axis=-1)
-        for k in range(kp)
-    ]
+    # im2col F[., m, k] = xext[., (K_p - 1) + m D - k] via phase
+    # decomposition: one strided relayout, then a contiguous slice per tap
+    # (lane-strided slices are pathologically slow on TPU — see fir.py)
+    pad = (-xext.shape[-1]) % d
+    xp = jnp.pad(xext, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    l = xp.shape[-1]
+    phases = jnp.swapaxes(xp.reshape(x.shape[:-1] + (l // d, d)), -1, -2)
+    frames = []
+    for k in range(kp):
+        q, p = divmod(kp - 1 - k, d)
+        frames.append(
+            lax.slice_in_dim(
+                lax.index_in_dim(phases, p, axis=-2, keepdims=False),
+                q, q + nd, axis=-1,
+            )
+        )
     f = jnp.stack(frames, axis=-1)  # [2, nd, K_p]
 
     # all bins at once on the MXU: [2, nd, K_p] @ [K_p, 2D]
@@ -159,25 +168,35 @@ def pfb_channelize(
 def bin_weights_for_channels(
     proto: np.ndarray, num_bins: int, bin_idx: np.ndarray
 ) -> np.ndarray:
-    """Per-channel weight tensor ``Bc [K_p, 2, C]`` — bin selection folded
-    into the filterbank.
+    """Per-channel weight tensor ``Bc [2 K_p, 2, C]`` — bin selection AND
+    the complex (conjugate-LO) combine folded into the filterbank.
 
-    ``Bc[:, 0, c]`` / ``Bc[:, 1, c]`` are the cos/sin weights of channel
-    ``c``'s assigned bin, so ``im2col(x) @ Bc`` yields every receiver's
-    downconverted, prototype-filtered, decimated stream in ONE MXU matmul
-    with contraction ``K_p`` and output width ``2 C`` — no bins
-    intermediate and no separate selection matmul. For large C this is the
-    whole wideband stage. The trailing axis is the channel axis (sharded
-    data-parallel in the multi-chip step).
+    Rows ``0..K_p-1`` weight the I-plane taps, rows ``K_p..2K_p-1`` the
+    Q-plane taps; output slot ``[0, c]`` is channel ``c``'s mixed I, slot
+    ``[1, c]`` its mixed Q::
+
+        out_i =  sum_k h cos(phi) i_k  -  sum_k h sin(phi) q_k
+        out_q =  sum_k h sin(phi) i_k  +  sum_k h cos(phi) q_k
+
+    so ``im2col(x) @ Bc`` yields every receiver's downconverted,
+    prototype-filtered, decimated stream in ONE MXU matmul with
+    contraction ``2 K_p`` and output width ``2 C`` — no bins intermediate,
+    no selection matmul, and no post-matmul recombination pass (which at
+    C=1024 wrote+reread an extra 168 MB per block). The trailing axis is
+    the channel axis (sharded data-parallel in the multi-chip step).
     """
     kp = proto.shape[0]
     d = int(num_bins)
     k = np.arange(kp)[:, None]
     c = np.asarray(bin_idx, np.int64)[None, :]
     ang = 2.0 * np.pi * (k * c % d) / d
-    b = np.empty((kp, 2, c.shape[1]), np.float32)
-    b[:, 0, :] = proto[:, None] * np.cos(ang)
-    b[:, 1, :] = proto[:, None] * np.sin(ang)
+    hcos = (proto[:, None] * np.cos(ang)).astype(np.float32)
+    hsin = (proto[:, None] * np.sin(ang)).astype(np.float32)
+    b = np.empty((2 * kp, 2, c.shape[1]), np.float32)
+    b[:kp, 0, :] = hcos
+    b[kp:, 0, :] = -hsin
+    b[:kp, 1, :] = hsin
+    b[kp:, 1, :] = hcos
     return b
 
 
@@ -191,38 +210,49 @@ def pfb_channelize_direct(
     """Channelize straight to per-receiver streams: ``[2, N] -> [2, C, nd]``.
 
     Like :func:`pfb_channelize` but with :func:`bin_weights_for_channels`
-    weights ``[K_p, 2, C]``; the whole wideband stage (mix + anti-alias +
-    decimate + bin-route for every receiver) is the single dot_general
-    ``[2, nd, K_p] x [K_p, 2 C]``.
+    weights ``[2 K_p, 2, C]``; the whole wideband stage (mix + anti-alias +
+    decimate + bin-route + complex combine for every receiver) is the
+    single dot_general ``[nd, 2 K_p] x [2 K_p, 2 C]`` — the I/Q tap frames
+    are concatenated along the contraction axis, so no recombination pass
+    touches the ``[2, C, nd]`` output again.
     """
     d = int(decimation)
-    kp = weights.shape[0]
+    kp = weights.shape[0] // 2
     n = x.shape[-1]
     if n % d:
         raise ValueError("block length must be a multiple of the decimation")
     nd = n // d
 
     xext = jnp.concatenate([history, x], axis=-1)  # [2, N + K_p - 1]
-    span = (nd - 1) * d + 1
-    frames = [
-        lax.slice_in_dim(xext, kp - 1 - k, kp - 1 - k + span, stride=d, axis=-1)
-        for k in range(kp)
-    ]
+    # Phase decomposition: one strided relayout instead of K_p lane-strided
+    # slices (which are pathologically slow on TPU — see fir.py). With
+    # phases[., p, i] = xext[., i*d + p], tap k's frame
+    # F[., m, k] = xext[., (K_p-1-k) + m*d] is the contiguous slice
+    # phases[., p, q:q+nd] where q*d + p = K_p-1-k.
+    pad = (-xext.shape[-1]) % d
+    xp = jnp.pad(xext, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    l = xp.shape[-1]
+    phases = jnp.swapaxes(xp.reshape(x.shape[:-1] + (l // d, d)), -1, -2)
+    frames = []
+    for k in range(kp):
+        q, p = divmod(kp - 1 - k, d)
+        frames.append(
+            lax.slice_in_dim(
+                lax.index_in_dim(phases, p, axis=-2, keepdims=False),
+                q, q + nd, axis=-1,
+            )
+        )
     f = jnp.stack(frames, axis=-1)  # [2, nd, K_p]
+    f2 = jnp.concatenate([f[0], f[1]], axis=-1)  # [nd, 2 K_p]
 
     y = jax.lax.dot_general(
-        f,
+        f2,
         weights,
-        dimension_numbers=(((2,), (0,)), ((), ())),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [2, nd, 2, C]
+    )  # [nd, 2, C]
 
-    i_in, q_in = y[0], y[1]
-    # conjugate-LO combine (see pfb_channelize)
-    out_i = i_in[:, 0, :] - q_in[:, 1, :]
-    out_q = q_in[:, 0, :] + i_in[:, 1, :]
-    out = jnp.stack([out_i, out_q]).transpose(0, 2, 1)  # [2, C, nd]
-
+    out = y.transpose(1, 2, 0)  # [2, C, nd]
     new_history = x[..., n - (kp - 1):]
     return out, new_history
 

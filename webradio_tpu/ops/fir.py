@@ -22,6 +22,16 @@ Two formulations:
   full TPU builds). The segmenting defines the halo exchanged between
   time-shards in the multi-chip path (SURVEY §5).
 
+* :func:`fir_decimate_toeplitz` — the FIR as an MXU matmul: time is cut
+  into tiles of ``T`` output samples and each tile is one
+  ``[span] x [span, T]`` product against a banded (Toeplitz) weight matrix
+  built host-side from the kernel (:func:`toeplitz_weights`). Moves the
+  MAC work from the VPU to the systolic array — measured ~2-3x faster than
+  the strided-MAC form at C=1024 on v5e — at the cost of ``span / K``
+  padded FLOPs (the band's zeros). Requires one *shared* kernel (the
+  common case: every receiver at the same passband); per-channel kernels
+  stay on :func:`fir_decimate`.
+
 State is explicit: callers thread the ``K-1``-frame history; block-size
 invariance (same stream, any block split, identical output) is the core
 correctness property tested against the oracle.
@@ -155,6 +165,124 @@ def fir_decimate_streaming(
     """Alias of :func:`fir_decimate` (API symmetry with the overlap-save
     variant; both carry identical state)."""
     return fir_decimate(x, coeff, decimation, history)
+
+
+def toeplitz_tile(nd_out: int, decimation: int, fir_length: int) -> int:
+    """Pick the output-tile size for :func:`toeplitz_weights`.
+
+    The band density ``K / span`` (useful vs padded FLOPs) falls as the
+    tile grows, pulling toward small tiles; MXU lane utilisation pulls
+    toward >=128. Measured optimum on v5e at K=64: 128 for decimation 1,
+    32 for decimating filters (where span grows ``T * D``-fast).
+    """
+    order = (128, 256, 64, 32, 16, 8) if decimation == 1 else (
+        32, 64, 128, 16, 8, 256)
+    for t in order:
+        if nd_out % t == 0:
+            return t
+    return nd_out
+
+
+def toeplitz_weights(
+    coeff: np.ndarray, decimation: int, tile: int
+) -> np.ndarray:
+    """Banded weight matrix ``W [span, T]`` for one shared FIR kernel.
+
+    ``span = (T - 1) * D + K``; column ``m`` holds the reversed kernel at
+    row offset ``m * D``, so ``tiles[..., b, :] @ W`` evaluates
+    ``y[m] = sum_k coeff[K-1-k] * x[b*T*D + m*D + k]`` — exactly the
+    reference's decimated correlation (lowpass.cxx:151-159) for ``T``
+    consecutive outputs at once.
+    """
+    c = np.asarray(coeff, np.float32)
+    if c.ndim != 1:
+        raise ValueError("toeplitz_weights needs one shared [K] kernel")
+    k = c.shape[-1]
+    d, t = int(decimation), int(tile)
+    w = np.zeros(((t - 1) * d + k, t), np.float32)
+    rev = c[::-1]
+    for m in range(t):
+        w[m * d : m * d + k, m] = rev
+    return w
+
+
+@functools.partial(jax.jit, static_argnames=("decimation",))
+def fir_decimate_toeplitz(
+    x: jax.Array,
+    w: jax.Array,
+    decimation: int,
+    history: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Decimating FIR as tiled MXU matmuls; same contract and state carry
+    as :func:`fir_decimate` (``history [..., K-1]``, ``new_history =
+    x[..., -(K-1):]``).
+
+    Args:
+      x: ``[..., N]`` float32; ``N // decimation`` must be a multiple of
+        the tile size ``w.shape[1]``.
+      w: ``[span, T]`` from :func:`toeplitz_weights`.
+
+    The overlapping input tiles ``[..., nb, span]`` are assembled with two
+    plain reshapes plus a halo slice (no gather); the matmul runs at
+    ``precision=HIGHEST`` so the result matches the direct form to float32
+    rounding (>130 dB SNR measured) and block-size invariance holds within
+    the framework's 3e-6 tolerance.
+    """
+    d = int(decimation)
+    span, t = w.shape
+    k = span - (t - 1) * d
+    if history.shape[-1] != k - 1:
+        raise ValueError("history length does not match the kernel length")
+    n = x.shape[-1]
+    _check_block(n, d)
+    nd = n // d
+    if nd % t:
+        raise ValueError(f"output length {nd} not a multiple of tile {t}")
+
+    # very large channel batches: static channel chunks keep each matmul's
+    # im2col operand a sane size for the compile service (same rationale
+    # as fir_decimate's _CHUNK_ELEMS split)
+    if x.ndim >= 2 and x.shape[-2] * n > _CHUNK_ELEMS and x.shape[-2] % 2 == 0:
+        c = x.shape[-2]
+        groups = 2
+        while (c // groups) * n > _CHUNK_ELEMS and (c // groups) % 2 == 0:
+            groups *= 2
+        step = c // groups
+        ys, hs = [], []
+        for g in range(groups):
+            sl = slice(g * step, (g + 1) * step)
+            y, h = fir_decimate_toeplitz(
+                x[..., sl, :], w, decimation, history[..., sl, :]
+            )
+            ys.append(y)
+            hs.append(h)
+        return jnp.concatenate(ys, axis=-2), jnp.concatenate(hs, axis=-2)
+
+    nb = nd // t
+    stride = t * d
+
+    xext = jnp.concatenate([history, x], axis=-1)  # [..., N + K - 1]
+    pad = stride + nb * stride - xext.shape[-1]
+    xp = jnp.pad(xext, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    a = xp[..., : nb * stride].reshape(x.shape[:-1] + (nb, stride))
+    halo = span - stride  # leading samples of the next tile (k - 1 - d + 1)
+    if halo > 0:
+        b = xp[..., stride : stride + nb * stride].reshape(
+            x.shape[:-1] + (nb, stride)
+        )[..., :halo]
+        tiles = jnp.concatenate([a, b], axis=-1)  # [..., nb, span]
+    else:
+        tiles = a[..., :span]
+    y = lax.dot_general(
+        tiles,
+        w,
+        dimension_numbers=(((tiles.ndim - 1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [..., nb, T]
+    y = y.reshape(x.shape[:-1] + (nb * t,))
+    new_history = x[..., n - (k - 1):]
+    return y, new_history
 
 
 def _next_pow2(n: int) -> int:

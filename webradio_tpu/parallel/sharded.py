@@ -79,8 +79,19 @@ def _shard_body(cfg: ChainConfig, t_shards: int, params, state, iq_local):
     # ---- channel FIR: history halo = left neighbor's last K-1 mixed frames
     chan_halo = lax.ppermute(mixed[:, :, mixed.shape[-1] - (k - 1):], "time", perm)
     chan_hist = jnp.where(tidx == 0, rxs.chan_hist, chan_halo)
-    fir = ops.overlap_save_decimate if cfg.use_overlap_save else ops.fir_decimate
-    chan, chan_hist_local = fir(mixed, rxp.chan_coeff, cfg.chan_decim, chan_hist)
+
+    def fir(x, coeff, toep, decim, hist):
+        if cfg.use_overlap_save:
+            return ops.overlap_save_decimate(x, coeff, decim, hist)
+        # the Toeplitz MXU form when the shared weights exist and this
+        # shard's output length is whole tiles
+        if toep is not None and (x.shape[-1] // decim) % toep.shape[1] == 0:
+            return ops.fir_decimate_toeplitz(x, toep, decim, hist)
+        return ops.fir_decimate(x, coeff, decim, hist)
+
+    chan, chan_hist_local = fir(
+        mixed, rxp.chan_coeff, rxp.chan_toep, cfg.chan_decim, chan_hist
+    )
     new_chan_hist = _from_last(chan_hist_local, tidx, t_shards)
 
     # ---- demod: previous-sample halo at the channel rate
@@ -95,7 +106,7 @@ def _shard_body(cfg: ChainConfig, t_shards: int, params, state, iq_local):
     )
     audio_hist = jnp.where(tidx == 0, rxs.audio_hist, audio_halo)
     audio, audio_hist_local = fir(
-        audio_if, rxp.audio_coeff, cfg.audio_decim, audio_hist
+        audio_if, rxp.audio_coeff, rxp.audio_toep, cfg.audio_decim, audio_hist
     )
     new_audio_hist = _from_last(audio_hist_local, tidx, t_shards)
     from ..pipeline.frontend import _apply_gain_squelch
@@ -141,6 +152,8 @@ def sharded_frontend_step(cfg: ChainConfig, mesh: Mesh):
             mode=P("chan"),
             af_gain=P("chan"),
             squelch=P("chan"),
+            chan_toep=P(None, None),  # tiny shared band matrix, replicated
+            audio_toep=P(None, None),
         )
     )
     state_spec = FrontEndState(

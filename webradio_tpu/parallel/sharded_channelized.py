@@ -78,8 +78,14 @@ def _shard_body(cfg: ChannelizedConfig, t_shards: int, params, state, iq_local):
     chan_halo = lax.ppermute(mixed[:, :, mixed.shape[-1] - (k - 1):],
                              "time", perm)
     chan_hist = jnp.where(tidx == 0, state.chan_hist, chan_halo)
-    shaped, chan_hist_local = ops.fir_decimate(
-        mixed, params.chan_coeff, 1, chan_hist
+
+    def fir(x, coeff, toep, decim, hist):
+        if toep is not None and (x.shape[-1] // decim) % toep.shape[1] == 0:
+            return ops.fir_decimate_toeplitz(x, toep, decim, hist)
+        return ops.fir_decimate(x, coeff, decim, hist)
+
+    shaped, chan_hist_local = fir(
+        mixed, params.chan_coeff, params.chan_toep, 1, chan_hist
     )
     new_chan_hist = _from_last(chan_hist_local, tidx, t_shards)
 
@@ -94,8 +100,9 @@ def _shard_body(cfg: ChannelizedConfig, t_shards: int, params, state, iq_local):
         audio_if[:, audio_if.shape[-1] - (k - 1):], "time", perm
     )
     audio_hist = jnp.where(tidx == 0, state.audio_hist, audio_halo)
-    audio, audio_hist_local = ops.fir_decimate(
-        audio_if, params.audio_coeff, cfg.audio_decim, audio_hist
+    audio, audio_hist_local = fir(
+        audio_if, params.audio_coeff, params.audio_toep, cfg.audio_decim,
+        audio_hist,
     )
     new_audio_hist = _from_last(audio_hist_local, tidx, t_shards)
     from ..pipeline.frontend import _apply_gain_squelch
@@ -141,6 +148,8 @@ def sharded_channelized_step(cfg: ChannelizedConfig, mesh: Mesh):
         mode=P("chan"),
         af_gain=P("chan"),
         squelch=P("chan"),
+        chan_toep=P(None, None),  # tiny shared band matrix, replicated
+        audio_toep=P(None, None),
     )
     state_spec = ChannelizedState(
         pfb_hist=P(None, None),  # tiny, replicated

@@ -99,13 +99,20 @@ class ChannelizedConfig:
 
 
 class ChannelizedParams(NamedTuple):
-    pfb_weights: jnp.ndarray  # [K_p, 2, C] float32 (selection folded in)
+    pfb_weights: jnp.ndarray  # [2 K_p, 2, C] float32 (selection+combine folded)
     residual_step: jnp.ndarray  # [C] uint32 (at channel rate)
     chan_coeff: jnp.ndarray  # [C, K] float32 (decim-1 shaping FIR)
     audio_coeff: jnp.ndarray  # [C, K] float32
     mode: jnp.ndarray  # [C] int32
     af_gain: jnp.ndarray  # [C] float32 — linear audio gain
     squelch: jnp.ndarray  # [C] float32 — power gate threshold (dB; 0 = off)
+    #: banded MXU weight matrices (ops.toeplitz_weights) for the shaping and
+    #: audio FIRs, present iff every channel shares the kernel (the common
+    #: case); None falls back to the per-channel strided-MAC form. Presence
+    #: is part of the trace signature, so a control write that first
+    #: diverges a channel's bandwidth recompiles once.
+    chan_toep: jnp.ndarray | None = None  # [K, T1] float32
+    audio_toep: jnp.ndarray | None = None  # [span, T2] float32
 
 
 class ChannelizedState(NamedTuple):
@@ -160,6 +167,18 @@ def make_channelized_params(
         [MODES.index(m) if isinstance(m, str) else int(m) for m in modes],
         dtype=np.int32,
     )
+
+    def shared_toep(coeff_rows, decimation, nd_out):
+        """MXU Toeplitz weights when all channels share one kernel."""
+        if not (coeff_rows == coeff_rows[0]).all():
+            return None
+        tile = ops.toeplitz_tile(nd_out, decimation, coeff_rows.shape[-1])
+        if nd_out % tile:
+            return None
+        return jnp.asarray(
+            ops.toeplitz_weights(coeff_rows[0], decimation, tile)
+        )
+
     return ChannelizedParams(
         pfb_weights=jnp.asarray(weights),
         residual_step=jnp.asarray(steps),
@@ -170,6 +189,8 @@ def make_channelized_params(
             np.power(10.0, np.array(gains, np.float32) / 20.0)
         ).astype(jnp.float32),
         squelch=jnp.asarray(np.array(squelches, np.float32)),
+        chan_toep=shared_toep(chan, 1, cfg.chan_frames),
+        audio_toep=shared_toep(audio, cfg.audio_decim, cfg.audio_frames),
     )
 
 
@@ -182,6 +203,15 @@ def init_channelized_state(cfg: ChannelizedConfig) -> ChannelizedState:
         demod_prev=jnp.zeros((2, c), jnp.float32),
         audio_hist=jnp.zeros((c, k - 1), jnp.float32),
     )
+
+
+def _fir(x, coeff, toep, decim, hist):
+    """Shared-kernel Toeplitz MXU form when available and this block's
+    output length is whole tiles (params may be reused across block
+    sizes); per-channel strided-MAC form otherwise."""
+    if toep is not None and (x.shape[-1] // decim) % toep.shape[1] == 0:
+        return ops.fir_decimate_toeplitz(x, toep, decim, hist)
+    return ops.fir_decimate(x, coeff, decim, hist)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
@@ -217,15 +247,16 @@ def channelized_step(
         )
     else:
         mixed = ops.nco_mix(chan_in, state.nco_phase, params.residual_step)
-        shaped, chan_hist = ops.fir_decimate(
-            mixed, params.chan_coeff, 1, state.chan_hist
+        shaped, chan_hist = _fir(
+            mixed, params.chan_coeff, params.chan_toep, 1, state.chan_hist
         )
         audio_if, demod_prev = ops.demodulate(
             shaped, params.mode, state.demod_prev
         )
 
-    audio, audio_hist = ops.fir_decimate(
-        audio_if, params.audio_coeff, cfg.audio_decim, state.audio_hist
+    audio, audio_hist = _fir(
+        audio_if, params.audio_coeff, params.audio_toep, cfg.audio_decim,
+        state.audio_hist,
     )
     from .frontend import _apply_gain_squelch
 

@@ -65,13 +65,27 @@ def frontend_step(
     mixed = ops.nco_mix(iq[:, None, :], rxs.nco_phase, rxp.phase_step)
     nco_phase = ops.nco_advance(rxs.nco_phase, rxp.phase_step, cfg.block_frames)
 
-    fir = ops.overlap_save_decimate if cfg.use_overlap_save else ops.fir_decimate
-    chan, chan_hist = fir(mixed, rxp.chan_coeff, cfg.chan_decim, rxs.chan_hist)
+    if cfg.use_overlap_save:
+        def fir(x, coeff, toep, decim, hist):
+            return ops.overlap_save_decimate(x, coeff, decim, hist)
+    else:
+        def fir(x, coeff, toep, decim, hist):
+            # the Toeplitz MXU form when the shared weights exist and this
+            # block's output length is whole tiles (params may be reused
+            # across block sizes)
+            if toep is not None and (x.shape[-1] // decim) % toep.shape[1] == 0:
+                return ops.fir_decimate_toeplitz(x, toep, decim, hist)
+            return ops.fir_decimate(x, coeff, decim, hist)
+
+    chan, chan_hist = fir(
+        mixed, rxp.chan_coeff, rxp.chan_toep, cfg.chan_decim, rxs.chan_hist
+    )
 
     audio_if, demod_prev = ops.demodulate(chan, rxp.mode, rxs.demod_prev)
 
     audio, audio_hist = fir(
-        audio_if, rxp.audio_coeff, cfg.audio_decim, rxs.audio_hist
+        audio_if, rxp.audio_coeff, rxp.audio_toep, cfg.audio_decim,
+        rxs.audio_hist,
     )
     audio = _apply_gain_squelch(audio, chan, rxp.af_gain, rxp.squelch)
 

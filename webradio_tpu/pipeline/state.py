@@ -80,6 +80,10 @@ class ReceiverParams(NamedTuple):
     mode: jnp.ndarray  # [C] int32 — demodulator law
     af_gain: jnp.ndarray  # [C] float32 — linear audio gain
     squelch: jnp.ndarray  # [C] float32 — power gate threshold (dB; 0 = off)
+    #: banded MXU weight matrices (ops.toeplitz_weights), present iff every
+    #: channel shares the kernel; None -> per-channel strided-MAC form
+    chan_toep: jnp.ndarray | None = None
+    audio_toep: jnp.ndarray | None = None
 
 
 class ReceiverState(NamedTuple):
@@ -153,6 +157,20 @@ def make_receiver_params(
         [MODES.index(m) if isinstance(m, str) else int(m) for m in modes],
         dtype=np.int32,
     )
+
+    def shared_toep(coeff_rows, decimation, nd_out):
+        from .. import ops
+
+        if not (coeff_rows == coeff_rows[0]).all():
+            return None
+        tile = ops.toeplitz_tile(nd_out, decimation, coeff_rows.shape[-1])
+        if nd_out % tile:
+            return None
+        return jnp.asarray(
+            ops.toeplitz_weights(coeff_rows[0], decimation, tile)
+        )
+
+    chan_frames = cfg.block_frames // cfg.chan_decim
     return FrontEndParams(
         rx=ReceiverParams(
             phase_step=jnp.asarray(steps),
@@ -163,6 +181,8 @@ def make_receiver_params(
                 np.power(10.0, np.array(gains, np.float32) / 20.0)
             ).astype(jnp.float32),
             squelch=jnp.asarray(np.array(squelches, np.float32)),
+            chan_toep=shared_toep(chan, cfg.chan_decim, chan_frames),
+            audio_toep=shared_toep(audio, cfg.audio_decim, cfg.audio_frames),
         )
     )
 
