@@ -322,6 +322,35 @@ def test_status_endpoint(app):
     assert fe["sample_rate"] == 256_000
 
 
+def test_profile_endpoint(app, tmp_path):
+    status, _, data = request(app, "GET", "/profile")
+    assert status == 200
+    assert json.loads(data)["tracing"] is False
+
+    trace_dir = str(tmp_path / "trace")
+    status, _, data = request(app, "POST", "/profile",
+                              {"action": "start", "dir": trace_dir})
+    assert status == 200
+    root = json.loads(data)
+    if "error" in root:  # backend without profiler support
+        return
+    assert root["tracing"] is True
+
+    # double-start rejected while tracing
+    status, _, _ = request(app, "POST", "/profile", {"action": "start"})
+    assert status == 400
+
+    time.sleep(0.3)  # let a block or two land in the trace
+    status, _, data = request(app, "POST", "/profile", {"action": "stop"})
+    assert status == 200
+    root = json.loads(data)
+    assert root["tracing"] is False
+    assert root["trace_dir"] == trace_dir
+    import pathlib
+
+    assert any(pathlib.Path(trace_dir).rglob("*")), "trace wrote no files"
+
+
 def test_checkpoint_snapshot_and_merge(tmp_path):
     from webradio_tpu.app import _merge_state, DEFAULT_CONFIG
 

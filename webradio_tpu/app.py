@@ -26,6 +26,7 @@ from .web.handlers import (
     FileHandler,
     RedirectHandler,
     PeaksHandler,
+    ProfileHandler,
     ReceiverHandler,
     StatusHandler,
     TunerControlHandler,
@@ -204,6 +205,7 @@ class RadioApp:
         srv.register_handler("audio/*", AudioStreamHandler)
         srv.register_handler("config", ConfigHandler)
         srv.register_handler("status", StatusHandler)
+        srv.register_handler("profile", ProfileHandler)
         srv.register_handler("tuners", TunerHandler)
         srv.register_handler("tuners/*", TunerHandler)
         srv.register_handler("tuners/*/control", TunerControlHandler)

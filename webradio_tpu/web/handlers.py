@@ -132,6 +132,60 @@ class StatusHandler(HttpRequestHandler):
         )
 
 
+class ProfileHandler(HttpRequestHandler):
+    """GET/POST /profile — capture a ``jax.profiler`` device trace of the
+    live pipeline.
+
+    The reference's only profiler is the 5-second stderr ns/frame log
+    (radio.cxx:51-54); SURVEY §5 names ``jax.profiler`` traces as the TPU
+    equivalent. POST ``{"action": "start", "dir": "..."}`` begins a trace
+    (default dir ``/tmp/webradio_trace``), ``{"action": "stop"}`` ends it
+    and returns the trace directory (open with TensorBoard / Perfetto).
+    GET reports the current state.
+    """
+
+    _active_dir: str | None = None  # class-level: one trace at a time
+
+    def allows(self, wildcards) -> str:
+        return "GET, POST"
+
+    def do_get(self, wildcards, body) -> int:
+        return self.send_json(
+            {"tracing": ProfileHandler._active_dir is not None,
+             "trace_dir": ProfileHandler._active_dir}
+        )
+
+    def do_post(self, wildcards, body) -> int:
+        import jax
+
+        try:
+            root = json.loads(body or b"{}")
+        except json.JSONDecodeError:
+            return HTTP_BAD_REQUEST
+        action = root.get("action", "")
+        if action == "start":
+            if ProfileHandler._active_dir is not None:
+                return HTTP_BAD_REQUEST  # already tracing
+            trace_dir = str(root.get("dir", "/tmp/webradio_trace"))
+            try:
+                jax.profiler.start_trace(trace_dir)
+            except Exception as exc:  # backend without profiler support
+                return self.send_json({"error": str(exc)}) or HTTP_INTERNAL
+            ProfileHandler._active_dir = trace_dir
+            return self.send_json({"tracing": True, "trace_dir": trace_dir})
+        if action == "stop":
+            if ProfileHandler._active_dir is None:
+                return HTTP_BAD_REQUEST
+            trace_dir, ProfileHandler._active_dir = (
+                ProfileHandler._active_dir, None)
+            try:
+                jax.profiler.stop_trace()
+            except Exception as exc:
+                return self.send_json({"error": str(exc)}) or HTTP_INTERNAL
+            return self.send_json({"tracing": False, "trace_dir": trace_dir})
+        return HTTP_BAD_REQUEST
+
+
 class ConfigHandler(HttpRequestHandler):
     """GET /config — static stub, field-compatible with
     confighandler.cxx:41-55."""
