@@ -220,6 +220,21 @@ class TestFirToeplitz:
         with pytest.raises(ValueError):
             ops.fir_decimate_toeplitz(x, w, 1, jnp.zeros((2, 1, 63)))
 
+    @pytest.mark.parametrize("decim,tile", [(1, 64), (5, 32)])
+    def test_time_major_matches_time_minor(self, rng, decim, tile):
+        coeff = oracle.design_lowpass_fir(600_000, 2_400_000)
+        n, c = 640 * decim, 16
+        x = jnp.asarray(rng.standard_normal((c, n)).astype(np.float32))
+        hist = jnp.asarray(rng.standard_normal((c, 63)).astype(np.float32))
+        w = jnp.asarray(ops.toeplitz_weights(coeff, decim, tile))
+
+        y_ref, h_ref = ops.fir_decimate_toeplitz(x, w, decim, hist)
+        y_tm, h_tm = ops.fir_decimate_toeplitz_tm(x.T, w, decim, hist.T)
+        np.testing.assert_allclose(np.asarray(y_tm.T), np.asarray(y_ref),
+                                   atol=3e-6)
+        np.testing.assert_allclose(np.asarray(h_tm.T), np.asarray(h_ref),
+                                   atol=0)
+
     def test_params_carry_toeplitz_only_when_shared(self):
         from webradio_tpu.pipeline import ChainConfig, make_receiver_params
 
@@ -333,3 +348,32 @@ class TestSpectrum:
             np.testing.assert_allclose(
                 got / scale, latest / scale, atol=5e-5
             )
+
+
+class TestTimeMajorTwins:
+    """nco_mix_tm / demodulate_tm vs their time-minor originals."""
+
+    def test_nco_mix_tm(self, rng):
+        n, c = 512, 8
+        x = jnp.asarray(rng.standard_normal((2, c, n)).astype(np.float32))
+        p0 = jnp.asarray(rng.integers(0, 2**31, c).astype(np.uint32))
+        st = jnp.asarray(rng.integers(0, 2**31, c).astype(np.uint32))
+        ref = ops.nco_mix(x, p0, st)
+        i_tm, q_tm = ops.nco_mix_tm(x[0].T, x[1].T, p0, st)
+        np.testing.assert_allclose(np.asarray(i_tm.T), np.asarray(ref[0]),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(q_tm.T), np.asarray(ref[1]),
+                                   atol=1e-6)
+
+    def test_demodulate_tm(self, rng):
+        import jax.numpy as jnp
+        n, c = 512, 4
+        x = jnp.asarray(rng.standard_normal((2, c, n)).astype(np.float32))
+        mode = jnp.asarray(np.array([0, 1, 2, 3], np.int32))
+        prev = jnp.asarray(rng.standard_normal((2, c)).astype(np.float32))
+        ref, ref_prev = ops.demodulate(x, mode, prev)
+        got, got_prev = ops.demodulate_tm(x[0].T, x[1].T, mode, prev)
+        np.testing.assert_allclose(np.asarray(got.T), np.asarray(ref),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got_prev), np.asarray(ref_prev),
+                                   atol=0)

@@ -32,12 +32,21 @@ from .fir import (
     fir_decimate,
     fir_decimate_streaming,
     fir_decimate_toeplitz,
+    fir_decimate_toeplitz_tm,
     overlap_save_decimate,
     toeplitz_tile,
     toeplitz_weights,
 )
-from .nco import nco_phase_step, nco_mix, nco_advance
-from .demod import MODES, MODE_AM, MODE_FM, MODE_USB, MODE_LSB, demodulate
+from .nco import nco_phase_step, nco_mix, nco_mix_tm, nco_advance
+from .demod import (
+    MODES,
+    MODE_AM,
+    MODE_FM,
+    MODE_USB,
+    MODE_LSB,
+    demodulate,
+    demodulate_tm,
+)
 from .spectrum import spectrum_accumulate, spectrum_db, dft_matrices
 from .trig import atan2
 
@@ -47,12 +56,14 @@ __all__ = [
     "fir_decimate",
     "fir_decimate_streaming",
     "fir_decimate_toeplitz",
+    "fir_decimate_toeplitz_tm",
     "overlap_save_decimate",
     "toeplitz_tile",
     "toeplitz_weights",
     "nco",
     "nco_phase_step",
     "nco_mix",
+    "nco_mix_tm",
     "nco_advance",
     "MODES",
     "MODE_AM",
@@ -60,6 +71,7 @@ __all__ = [
     "MODE_USB",
     "MODE_LSB",
     "demodulate",
+    "demodulate_tm",
     "spectrum_accumulate",
     "spectrum_db",
     "dft_matrices",

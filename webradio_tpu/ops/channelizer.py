@@ -257,6 +257,59 @@ def pfb_channelize_direct(
     return out, new_history
 
 
+@functools.partial(jax.jit, static_argnames=("decimation",))
+def pfb_channelize_direct_tm(
+    x: jax.Array,
+    weights: jax.Array,
+    decimation: int,
+    history: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Time-major variant of :func:`pfb_channelize_direct`:
+    ``[2, N] -> (i [nd, C], q [nd, C], new_history)``.
+
+    Skips the ``[nd, 2, C] -> [2, C, nd]`` relayout entirely — the matmul
+    output IS the time-major layout the downstream tail
+    (:func:`webradio_tpu.ops.nco.nco_mix_tm`,
+    :func:`webradio_tpu.ops.fir.fir_decimate_toeplitz_tm`,
+    :func:`webradio_tpu.ops.demod.demodulate_tm`) consumes; the I/Q split
+    is two lane-tile-aligned slices of the ``[nd, 2C]`` product.
+    """
+    d = int(decimation)
+    kp = weights.shape[0] // 2
+    c = weights.shape[-1]
+    n = x.shape[-1]
+    if n % d:
+        raise ValueError("block length must be a multiple of the decimation")
+    nd = n // d
+
+    xext = jnp.concatenate([history, x], axis=-1)
+    pad = (-xext.shape[-1]) % d
+    xp = jnp.pad(xext, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    l = xp.shape[-1]
+    phases = jnp.swapaxes(xp.reshape(x.shape[:-1] + (l // d, d)), -1, -2)
+    frames = []
+    for k in range(kp):
+        q, p = divmod(kp - 1 - k, d)
+        frames.append(
+            lax.slice_in_dim(
+                lax.index_in_dim(phases, p, axis=-2, keepdims=False),
+                q, q + nd, axis=-1,
+            )
+        )
+    f = jnp.stack(frames, axis=-1)  # [2, nd, K_p]
+    f2 = jnp.concatenate([f[0], f[1]], axis=-1)  # [nd, 2 K_p]
+
+    y = jax.lax.dot_general(
+        f2,
+        weights.reshape(weights.shape[0], 2 * c),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [nd, 2C]: columns [:C] = mixed I, [C:] = mixed Q
+
+    new_history = x[..., n - (kp - 1):]
+    return y[:, :c], y[:, c:], new_history
+
+
 def assign_bins(if_hz, fs_hz: int, num_bins: int):
     """Nearest-bin assignment for arbitrary IFs.
 

@@ -75,3 +75,32 @@ def demodulate(
     # pattern some backends reject)
     last = x.shape[-1] - 1
     return audio.astype(jnp.float32), x[:, :, last]
+
+
+@jax.jit
+def demodulate_tm(
+    i: jax.Array, q: jax.Array, mode: jax.Array, prev: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Time-major twin of :func:`demodulate`: planes ``[N, C]`` in,
+    ``(audio [N, C], new_prev [2, C])`` out. The FM one-sample lag becomes
+    a leading-axis concat (free of lane relayout)."""
+    am = jnp.sqrt(i * i + q * q)
+
+    pi_ = jnp.concatenate([prev[0][None, :], i[:-1, :]], axis=0)
+    pq = jnp.concatenate([prev[1][None, :], q[:-1, :]], axis=0)
+    ii = i * pi_ + q * pq
+    qq = q * pi_ - i * pq
+    fm = atan2(ii, qq) * _INV_2PI  # reference arg order, demodulator.cxx:97
+
+    usb = i + q
+    lsb = i - q
+
+    m = mode.astype(jnp.int32)[None, :]
+    audio = jnp.where(
+        m == MODE_AM,
+        am,
+        jnp.where(m == MODE_FM, fm, jnp.where(m == MODE_USB, usb, lsb)),
+    )
+    last = i.shape[0] - 1
+    new_prev = jnp.stack([i[last], q[last]])
+    return audio.astype(jnp.float32), new_prev

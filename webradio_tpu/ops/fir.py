@@ -285,6 +285,64 @@ def fir_decimate_toeplitz(
     return y, new_history
 
 
+@functools.partial(jax.jit, static_argnames=("decimation",))
+def fir_decimate_toeplitz_tm(
+    x: jax.Array,
+    w: jax.Array,
+    decimation: int,
+    history: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Time-major Toeplitz FIR: ``x [N, C] -> y [N // D, C]``.
+
+    The layout twin of :func:`fir_decimate_toeplitz` for time-MAJOR
+    signals (time on the leading axis, channels on lanes). Device traces
+    showed the time-minor form pays two full-array relayout copies per
+    call (the ``[..., nb*T] -> [..., nb, T]`` reshape changes which axis
+    rides the lanes); with time leading, the tile reshape splits the
+    major axis — layout-free — and the banded matmul runs as ``nb``
+    batched ``[T, span] x [span, C]`` products with the weight matrix
+    broadcast over tiles. History carry: ``history [K-1, C]``,
+    ``new_history = x[-(K-1):, :]``.
+    """
+    d = int(decimation)
+    span, t = w.shape
+    k = span - (t - 1) * d
+    if history.shape[0] != k - 1:
+        raise ValueError("history length does not match the kernel length")
+    n = x.shape[0]
+    _check_block(n, d)
+    nd = n // d
+    if nd % t:
+        raise ValueError(f"output length {nd} not a multiple of tile {t}")
+    nb = nd // t
+    stride = t * d
+    c = x.shape[1]
+
+    xext = jnp.concatenate([history, x], axis=0)  # [N + K - 1, C]
+    pad = stride + nb * stride - xext.shape[0]
+    xp = jnp.pad(xext, [(0, pad), (0, 0)])
+    a = xp[: nb * stride].reshape(nb, stride, c)
+    halo = span - stride
+    if halo > 0:
+        b = xp[stride : stride + nb * stride].reshape(nb, stride, c)[:, :halo]
+        tiles = jnp.concatenate([a, b], axis=1)  # [nb, span, C]
+    else:
+        tiles = a[:, :span]
+    # lhs = broadcast weights so the batched matmul emits [nb, T, C] —
+    # already time-major order, so the flatten back to [nd, C] is free
+    wt = jnp.broadcast_to(w.T[None], (nb, t, span))
+    y = lax.dot_general(
+        wt,
+        tiles,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [nb, T, C]
+    y = y.reshape(nd, c)
+    new_history = x[n - (k - 1):, :]
+    return y, new_history
+
+
 def _next_pow2(n: int) -> int:
     p = 1
     while p < n:

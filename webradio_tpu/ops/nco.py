@@ -79,6 +79,25 @@ def nco_mix(x: jax.Array, phase0: jax.Array, phase_step: jax.Array) -> jax.Array
     return jnp.stack([i * c + q * s, q * c - i * s])
 
 
+@jax.jit
+def nco_mix_tm(
+    i: jax.Array, q: jax.Array, phase0: jax.Array, phase_step: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Time-major twin of :func:`nco_mix`: planes ``[N, C]`` (time on the
+    leading axis, channels on lanes), same quantized-phase semantics."""
+    n = jnp.arange(i.shape[0], dtype=jnp.uint32)
+    phases = (phase0[None, :] + n[:, None] * phase_step[None, :]) & jnp.uint32(
+        PHASE_MASK
+    )
+    sinidx = phases >> LOOKUP_SHIFT
+    cosidx = (sinidx + jnp.uint32((1 << LOOKUP_BITS) // 4)) & jnp.uint32(
+        LOOKUP_MASK
+    )
+    s = jnp.sin(sinidx.astype(jnp.float32) * _ANGLE_SCALE)
+    c = jnp.sin(cosidx.astype(jnp.float32) * _ANGLE_SCALE)
+    return i * c + q * s, q * c - i * s
+
+
 def nco_advance(phase0: jax.Array, phase_step: jax.Array, n: int) -> jax.Array:
     """Closed-form phase after ``n`` samples: ``(phase0 + n*step) mod 2^31``.
 

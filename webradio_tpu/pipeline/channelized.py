@@ -35,6 +35,7 @@ from ..ops.channelizer import (
     bin_weights_for_channels,
     design_prototype,
     pfb_channelize_direct,
+    pfb_channelize_direct_tm,
 )
 from ..ops.demod import MODES
 from ..ops.firdesign import FIR_LENGTH, design_lowpass_fir_cached
@@ -229,13 +230,66 @@ def channelized_step(
     """
     spectra = ops.spectrum_accumulate(iq, cfg.fft_size)
 
+    nco_phase = ops.nco_advance(
+        state.nco_phase, params.residual_step, cfg.chan_frames
+    )
+    nd = iq.shape[-1] // cfg.num_bins
+
+    # ---- preferred path: time-major tail. The filterbank matmul output
+    # is ALREADY time-major ([nd, 2C]); running mix/FIR/demod with time on
+    # the leading axis makes every tile reshape split the major dimension
+    # (layout-free — device traces showed the time-minor form paying two
+    # full-array relayout copies per FIR call), and only the final tiny
+    # audio block transposes back to the host's [C, audio] layout.
+    use_tm = (
+        not cfg.use_pallas_tail
+        and params.chan_toep is not None
+        and params.audio_toep is not None
+        and nd % params.chan_toep.shape[1] == 0
+        and (nd // cfg.audio_decim) % params.audio_toep.shape[1] == 0
+    )
+    if use_tm:
+        c = cfg.num_channels
+        ci, cq, pfb_hist = pfb_channelize_direct_tm(
+            iq, params.pfb_weights, cfg.num_bins, state.pfb_hist
+        )  # [nd, C] planes
+        mi, mq = ops.nco_mix_tm(
+            ci, cq, state.nco_phase, params.residual_step
+        )
+        # both planes through one banded matmul: stack on the lane axis
+        x2 = jnp.concatenate([mi, mq], axis=1)  # [nd, 2C]
+        hist_tm = jnp.concatenate(
+            [state.chan_hist[0].T, state.chan_hist[1].T], axis=1
+        )  # [K-1, 2C] (tiny transposes)
+        y2, h2 = ops.fir_decimate_toeplitz_tm(
+            x2, params.chan_toep, 1, hist_tm
+        )
+        audio_tm, demod_prev = ops.demodulate_tm(
+            y2[:, :c], y2[:, c:], params.mode, state.demod_prev
+        )
+        audio, audio_hist_tm = ops.fir_decimate_toeplitz_tm(
+            audio_tm, params.audio_toep, cfg.audio_decim, state.audio_hist.T
+        )
+        audio = audio.T  # [C, audio_frames] — the host layout
+        # squelch gate power from the pre-mix selected bins (same signal
+        # the [2, C, nd] path uses)
+        power = jnp.mean(ci * ci + cq * cq, axis=0)  # [C]
+        power_db = 10.0 * jnp.log10(jnp.maximum(power, 1e-30))
+        gate = jnp.logical_or(params.squelch >= 0.0, power_db >= params.squelch)
+        audio = audio * (params.af_gain * gate.astype(jnp.float32))[:, None]
+        new_state = ChannelizedState(
+            pfb_hist=pfb_hist,
+            nco_phase=nco_phase,
+            chan_hist=jnp.stack([h2[:, :c].T, h2[:, c:].T]),
+            demod_prev=demod_prev,
+            audio_hist=audio_hist_tm.T,
+        )
+        return new_state, audio, spectra
+
     chan_in, pfb_hist = pfb_channelize_direct(
         iq, params.pfb_weights, cfg.num_bins, state.pfb_hist
     )  # [2, C, nd] — wideband stage is one MXU matmul
 
-    nco_phase = ops.nco_advance(
-        state.nco_phase, params.residual_step, cfg.chan_frames
-    )
     if cfg.use_pallas_tail:
         from ..ops.pallas_tail import fused_receiver_tail
 
