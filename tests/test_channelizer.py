@@ -241,3 +241,39 @@ class TestShardedChannelized:
             np.testing.assert_allclose(
                 np.asarray(spectra), ref_spectra, atol=2e-3
             )
+
+
+def test_mixed_bandwidth_structure_switch(rng):
+    """A control write that diverges one channel's bandwidth flips the
+    params structure (shared-Toeplitz -> per-channel FIR); both structures
+    must produce consistent audio for the channels whose settings did not
+    change."""
+    import jax.numpy as jnp
+    from webradio_tpu.pipeline.channelized import (
+        ChannelizedConfig,
+        channelized_step,
+        init_channelized_state,
+        make_channelized_params,
+    )
+
+    cfg = ChannelizedConfig(
+        sample_rate=1_024_000, channel_rate=128_000, audio_rate=32_000,
+        block_frames=16_384, num_channels=4,
+    )
+    iq = jnp.asarray(
+        rng.standard_normal((2, cfg.block_frames)).astype(np.float32))
+    shared = make_channelized_params(cfg, [0, 10_000, -20_000, 40_000],
+                                     80_000, 8_000, "FM")
+    assert shared.chan_toep is not None
+    mixed = make_channelized_params(cfg, [0, 10_000, -20_000, 40_000],
+                                    [80_000, 80_000, 80_000, 40_000],
+                                    8_000, "FM")
+    assert mixed.chan_toep is None
+
+    _, a_shared, _ = channelized_step(cfg, shared,
+                                      init_channelized_state(cfg), iq)
+    _, a_mixed, _ = channelized_step(cfg, mixed,
+                                     init_channelized_state(cfg), iq)
+    # channels 0-2 unchanged between the two parameterizations
+    np.testing.assert_allclose(np.asarray(a_shared)[:3],
+                               np.asarray(a_mixed)[:3], atol=3e-5)

@@ -284,7 +284,59 @@ class FrontEnd:
         self._capture = CaptureThread(self.tuner, self.ring)
         self._capture.start()
         self.running = True
+        # Background-compile the alternate parameter STRUCTURES (shared
+        # Toeplitz FIR weights present/absent). A control write that first
+        # diverges one receiver's bandwidth from the others flips the
+        # params pytree structure and would retrace mid-stream (seconds of
+        # stall -> ring drops); pre-warming the variants makes that PUT
+        # hitless. Daemon thread: compilation overlaps live serving.
+        threading.Thread(target=self._warm_param_variants,
+                         daemon=True,
+                         name=f"warm-{self.uuid}").start()
         return True
+
+    def _warm_param_variants(self) -> None:
+        """Compile the toep-absent param structures the control plane can
+        switch to at runtime (see ReceiverParams/ChannelizedParams docs)."""
+        import jax.numpy as jnp
+
+        try:
+            pl = self.pipeline
+            iq = jnp.zeros((2, self.cfg.block_frames), jnp.float32)
+            if isinstance(pl, ChannelizedPipeline):
+                from .pipeline.channelized import (
+                    channelized_step,
+                    init_channelized_state,
+                )
+
+                base = pl.params
+                for variant in (
+                    base._replace(chan_toep=None),
+                    base._replace(audio_toep=None),
+                    base._replace(chan_toep=None, audio_toep=None),
+                ):
+                    channelized_step(
+                        pl.cfg, variant, init_channelized_state(pl.cfg), iq
+                    )
+            elif isinstance(pl, FrontEndPipeline):
+                from .pipeline.frontend import frontend_step
+                from .pipeline.state import init_state
+
+                base = pl.params
+                for rx_variant in (
+                    base.rx._replace(chan_toep=None),
+                    base.rx._replace(audio_toep=None),
+                    base.rx._replace(chan_toep=None, audio_toep=None),
+                ):
+                    frontend_step(
+                        self.cfg, base._replace(rx=rx_variant),
+                        init_state(self.cfg), iq,
+                    )
+            log.info("front end %s: alternate param structures warm",
+                     self.uuid)
+        except Exception:
+            log.debug("front end %s: variant warm-up failed", self.uuid,
+                      exc_info=True)
 
     def stop(self) -> None:
         if not self.running:
