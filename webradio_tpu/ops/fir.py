@@ -321,23 +321,30 @@ def fir_decimate_toeplitz_tm(
     xext = jnp.concatenate([history, x], axis=0)  # [N + K - 1, C]
     pad = stride + nb * stride - xext.shape[0]
     xp = jnp.pad(xext, [(0, pad), (0, 0)])
-    a = xp[: nb * stride].reshape(nb, stride, c)
+    a = xp[: nb * stride].reshape(nb, stride, c)  # pure reshape: layout-free
     halo = span - stride
-    if halo > 0:
-        b = xp[stride : stride + nb * stride].reshape(nb, stride, c)[:, :halo]
-        tiles = jnp.concatenate([a, b], axis=1)  # [nb, span, C]
-    else:
-        tiles = a[:, :span]
     # lhs = broadcast weights so the batched matmul emits [nb, T, C] —
-    # already time-major order, so the flatten back to [nd, C] is free
+    # already time-major order, so the flatten back to [nd, C] is free.
+    # The overlap halo is handled by a SECOND small matmul over the next
+    # tile's leading rows instead of materializing a concatenated
+    # [nb, span, C] im2col (which would rewrite the whole array).
     wt = jnp.broadcast_to(w.T[None], (nb, t, span))
     y = lax.dot_general(
-        wt,
-        tiles,
+        wt[..., :stride] if halo > 0 else wt[..., :span],
+        a if halo > 0 else a[:, :span],
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         precision=lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )  # [nb, T, C]
+    if halo > 0:
+        b = xp[stride : stride + nb * stride].reshape(nb, stride, c)[:, :halo]
+        y = y + lax.dot_general(
+            wt[..., stride:],
+            b,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
     y = y.reshape(nd, c)
     new_history = x[n - (k - 1):, :]
     return y, new_history
