@@ -277,3 +277,32 @@ def test_mixed_bandwidth_structure_switch(rng):
     # channels 0-2 unchanged between the two parameterizations
     np.testing.assert_allclose(np.asarray(a_shared)[:3],
                                np.asarray(a_mixed)[:3], atol=3e-5)
+
+
+def test_short_tile_config_falls_back(rng):
+    """Configs whose output grids are too short for a one-neighbor Toeplitz
+    halo (tile*decim < fir_length-1) must build WITHOUT toep weights and
+    run through the per-channel FIR — regression for a negative-pad crash
+    found in review."""
+    import jax.numpy as jnp
+    from webradio_tpu.pipeline.channelized import (
+        ChannelizedConfig,
+        channelized_step,
+        init_channelized_state,
+        make_channelized_params,
+    )
+
+    # audio_frames = 40: eligible tiles would need tile*4 >= 63
+    cfg = ChannelizedConfig(
+        sample_rate=1_024_000, channel_rate=128_000, audio_rate=32_000,
+        block_frames=1_280, num_channels=8, fft_size=128,
+    )
+    params = make_channelized_params(
+        cfg, [i * 1000 for i in range(8)], 80_000, 8_000, "FM")
+    assert params.audio_toep is None  # no eligible tile -> fallback
+    iq = jnp.asarray(
+        rng.standard_normal((2, cfg.block_frames)).astype(np.float32))
+    _, audio, _ = channelized_step(cfg, params, init_channelized_state(cfg),
+                                   iq)
+    assert audio.shape == (8, cfg.audio_frames)
+    assert np.isfinite(np.asarray(audio)).all()

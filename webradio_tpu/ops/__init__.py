@@ -33,6 +33,8 @@ from .fir import (
     fir_decimate_streaming,
     fir_decimate_toeplitz,
     fir_decimate_toeplitz_tm,
+    fir_dispatch,
+    maybe_toeplitz_weights,
     overlap_save_decimate,
     toeplitz_tile,
     toeplitz_weights,
@@ -57,6 +59,8 @@ __all__ = [
     "fir_decimate_streaming",
     "fir_decimate_toeplitz",
     "fir_decimate_toeplitz_tm",
+    "fir_dispatch",
+    "maybe_toeplitz_weights",
     "overlap_save_decimate",
     "toeplitz_tile",
     "toeplitz_weights",

@@ -168,19 +168,56 @@ def fir_decimate_streaming(
 
 
 def toeplitz_tile(nd_out: int, decimation: int, fir_length: int) -> int:
-    """Pick the output-tile size for :func:`toeplitz_weights`.
+    """Pick the output-tile size for :func:`toeplitz_weights`, or 0 when
+    no tile is eligible.
 
     The band density ``K / span`` (useful vs padded FLOPs) falls as the
     tile grows, pulling toward small tiles; MXU lane utilisation pulls
     toward >=128. Measured optimum on v5e at K=64: 128 for decimation 1,
     32 for decimating filters (where span grows ``T * D``-fast).
+
+    Eligibility: the tile must divide ``nd_out`` AND satisfy
+    ``tile * decimation >= fir_length - 1`` — the kernel fetches its
+    overlap halo from the single next tile, so the input stride must
+    cover the K-1 history (a shorter tile would need a multi-tile halo
+    and, worse, a negative pad). Returns 0 when no candidate qualifies;
+    callers fall back to :func:`fir_decimate`.
     """
     order = (128, 256, 64, 32, 16, 8) if decimation == 1 else (
         32, 64, 128, 16, 8, 256)
     for t in order:
-        if nd_out % t == 0:
+        if nd_out % t == 0 and t * decimation >= fir_length - 1:
             return t
-    return nd_out
+    return 0
+
+
+def maybe_toeplitz_weights(
+    coeff_rows: np.ndarray, decimation: int, nd_out: int
+) -> np.ndarray | None:
+    """Shared-kernel eligibility + weight build in one place.
+
+    Returns the ``[span, T]`` banded weight matrix when every channel row
+    of ``coeff_rows [C, K]`` is identical and an eligible tile exists
+    (:func:`toeplitz_tile`); None otherwise — the single source of truth
+    for both the per-channel and channelized param builders.
+    """
+    rows = np.asarray(coeff_rows)
+    if rows.ndim != 2 or not (rows == rows[0]).all():
+        return None
+    tile = toeplitz_tile(int(nd_out), int(decimation), rows.shape[-1])
+    if tile == 0:
+        return None
+    return toeplitz_weights(rows[0], decimation, tile)
+
+
+def fir_dispatch(x, coeff, toep, decimation, history):
+    """Route one FIR call: the Toeplitz MXU form when the shared weights
+    exist and this block's output length is whole tiles (params may be
+    reused across block sizes / time shards), else the per-channel
+    strided-MAC form. Trace-time (static-shape) decision."""
+    if toep is not None and (x.shape[-1] // decimation) % toep.shape[1] == 0:
+        return fir_decimate_toeplitz(x, toep, decimation, history)
+    return fir_decimate(x, coeff, decimation, history)
 
 
 def toeplitz_weights(
@@ -238,6 +275,11 @@ def fir_decimate_toeplitz(
     nd = n // d
     if nd % t:
         raise ValueError(f"output length {nd} not a multiple of tile {t}")
+    if k - 1 > t * d:
+        raise ValueError(
+            "tile too short: the overlap halo must fit in one neighbor "
+            f"tile (fir_length-1={k-1} > tile*decimation={t * d})"
+        )
 
     # very large channel batches: static channel chunks keep each matmul's
     # im2col operand a sane size for the compile service (same rationale
@@ -314,6 +356,11 @@ def fir_decimate_toeplitz_tm(
     nd = n // d
     if nd % t:
         raise ValueError(f"output length {nd} not a multiple of tile {t}")
+    if k - 1 > t * d:
+        raise ValueError(
+            "tile too short: the overlap halo must fit in one neighbor "
+            f"tile (fir_length-1={k-1} > tile*decimation={t * d})"
+        )
     nb = nd // t
     stride = t * d
     c = x.shape[1]

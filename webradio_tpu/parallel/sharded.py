@@ -83,11 +83,7 @@ def _shard_body(cfg: ChainConfig, t_shards: int, params, state, iq_local):
     def fir(x, coeff, toep, decim, hist):
         if cfg.use_overlap_save:
             return ops.overlap_save_decimate(x, coeff, decim, hist)
-        # the Toeplitz MXU form when the shared weights exist and this
-        # shard's output length is whole tiles
-        if toep is not None and (x.shape[-1] // decim) % toep.shape[1] == 0:
-            return ops.fir_decimate_toeplitz(x, toep, decim, hist)
-        return ops.fir_decimate(x, coeff, decim, hist)
+        return ops.fir_dispatch(x, coeff, toep, decim, hist)
 
     chan, chan_hist_local = fir(
         mixed, rxp.chan_coeff, rxp.chan_toep, cfg.chan_decim, chan_hist

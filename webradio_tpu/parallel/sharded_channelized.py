@@ -79,12 +79,7 @@ def _shard_body(cfg: ChannelizedConfig, t_shards: int, params, state, iq_local):
                              "time", perm)
     chan_hist = jnp.where(tidx == 0, state.chan_hist, chan_halo)
 
-    def fir(x, coeff, toep, decim, hist):
-        if toep is not None and (x.shape[-1] // decim) % toep.shape[1] == 0:
-            return ops.fir_decimate_toeplitz(x, toep, decim, hist)
-        return ops.fir_decimate(x, coeff, decim, hist)
-
-    shaped, chan_hist_local = fir(
+    shaped, chan_hist_local = ops.fir_dispatch(
         mixed, params.chan_coeff, params.chan_toep, 1, chan_hist
     )
     new_chan_hist = _from_last(chan_hist_local, tidx, t_shards)
@@ -100,7 +95,7 @@ def _shard_body(cfg: ChannelizedConfig, t_shards: int, params, state, iq_local):
         audio_if[:, audio_if.shape[-1] - (k - 1):], "time", perm
     )
     audio_hist = jnp.where(tidx == 0, state.audio_hist, audio_halo)
-    audio, audio_hist_local = fir(
+    audio, audio_hist_local = ops.fir_dispatch(
         audio_if, params.audio_coeff, params.audio_toep, cfg.audio_decim,
         audio_hist,
     )

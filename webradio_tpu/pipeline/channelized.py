@@ -112,8 +112,8 @@ class ChannelizedParams(NamedTuple):
     #: case); None falls back to the per-channel strided-MAC form. Presence
     #: is part of the trace signature, so a control write that first
     #: diverges a channel's bandwidth recompiles once.
-    chan_toep: jnp.ndarray | None = None  # [K, T1] float32
-    audio_toep: jnp.ndarray | None = None  # [span, T2] float32
+    chan_toep: jnp.ndarray | None = None  # [span1, T1] float32, span=(T-1)D+K
+    audio_toep: jnp.ndarray | None = None  # [span2, T2] float32
 
 
 class ChannelizedState(NamedTuple):
@@ -170,15 +170,8 @@ def make_channelized_params(
     )
 
     def shared_toep(coeff_rows, decimation, nd_out):
-        """MXU Toeplitz weights when all channels share one kernel."""
-        if not (coeff_rows == coeff_rows[0]).all():
-            return None
-        tile = ops.toeplitz_tile(nd_out, decimation, coeff_rows.shape[-1])
-        if nd_out % tile:
-            return None
-        return jnp.asarray(
-            ops.toeplitz_weights(coeff_rows[0], decimation, tile)
-        )
+        w = ops.maybe_toeplitz_weights(coeff_rows, decimation, nd_out)
+        return None if w is None else jnp.asarray(w)
 
     return ChannelizedParams(
         pfb_weights=jnp.asarray(weights),
@@ -204,15 +197,6 @@ def init_channelized_state(cfg: ChannelizedConfig) -> ChannelizedState:
         demod_prev=jnp.zeros((2, c), jnp.float32),
         audio_hist=jnp.zeros((c, k - 1), jnp.float32),
     )
-
-
-def _fir(x, coeff, toep, decim, hist):
-    """Shared-kernel Toeplitz MXU form when available and this block's
-    output length is whole tiles (params may be reused across block
-    sizes); per-channel strided-MAC form otherwise."""
-    if toep is not None and (x.shape[-1] // decim) % toep.shape[1] == 0:
-        return ops.fir_decimate_toeplitz(x, toep, decim, hist)
-    return ops.fir_decimate(x, coeff, decim, hist)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
@@ -301,14 +285,14 @@ def channelized_step(
         )
     else:
         mixed = ops.nco_mix(chan_in, state.nco_phase, params.residual_step)
-        shaped, chan_hist = _fir(
+        shaped, chan_hist = ops.fir_dispatch(
             mixed, params.chan_coeff, params.chan_toep, 1, state.chan_hist
         )
         audio_if, demod_prev = ops.demodulate(
             shaped, params.mode, state.demod_prev
         )
 
-    audio, audio_hist = _fir(
+    audio, audio_hist = ops.fir_dispatch(
         audio_if, params.audio_coeff, params.audio_toep, cfg.audio_decim,
         state.audio_hist,
     )

@@ -70,12 +70,7 @@ def frontend_step(
             return ops.overlap_save_decimate(x, coeff, decim, hist)
     else:
         def fir(x, coeff, toep, decim, hist):
-            # the Toeplitz MXU form when the shared weights exist and this
-            # block's output length is whole tiles (params may be reused
-            # across block sizes)
-            if toep is not None and (x.shape[-1] // decim) % toep.shape[1] == 0:
-                return ops.fir_decimate_toeplitz(x, toep, decim, hist)
-            return ops.fir_decimate(x, coeff, decim, hist)
+            return ops.fir_dispatch(x, coeff, toep, decim, hist)
 
     chan, chan_hist = fir(
         mixed, rxp.chan_coeff, rxp.chan_toep, cfg.chan_decim, rxs.chan_hist

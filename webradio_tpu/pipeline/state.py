@@ -161,14 +161,8 @@ def make_receiver_params(
     def shared_toep(coeff_rows, decimation, nd_out):
         from .. import ops
 
-        if not (coeff_rows == coeff_rows[0]).all():
-            return None
-        tile = ops.toeplitz_tile(nd_out, decimation, coeff_rows.shape[-1])
-        if nd_out % tile:
-            return None
-        return jnp.asarray(
-            ops.toeplitz_weights(coeff_rows[0], decimation, tile)
-        )
+        w = ops.maybe_toeplitz_weights(coeff_rows, decimation, nd_out)
+        return None if w is None else jnp.asarray(w)
 
     chan_frames = cfg.block_frames // cfg.chan_decim
     return FrontEndParams(

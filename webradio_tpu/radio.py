@@ -297,7 +297,12 @@ class FrontEnd:
 
     def _warm_param_variants(self) -> None:
         """Compile the toep-absent param structures the control plane can
-        switch to at runtime (see ReceiverParams/ChannelizedParams docs)."""
+        switch to at runtime (see ReceiverParams/ChannelizedParams docs).
+
+        Warms the SERVING step functions — the exact jit entries
+        ``run_once -> process_host`` executes (the inner non-serving step
+        is inlined into the serving trace, so its cache would not help).
+        """
         import jax.numpy as jnp
 
         try:
@@ -305,7 +310,7 @@ class FrontEnd:
             iq = jnp.zeros((2, self.cfg.block_frames), jnp.float32)
             if isinstance(pl, ChannelizedPipeline):
                 from .pipeline.channelized import (
-                    channelized_step,
+                    channelized_step_serving,
                     init_channelized_state,
                 )
 
@@ -315,11 +320,11 @@ class FrontEnd:
                     base._replace(audio_toep=None),
                     base._replace(chan_toep=None, audio_toep=None),
                 ):
-                    channelized_step(
+                    channelized_step_serving(
                         pl.cfg, variant, init_channelized_state(pl.cfg), iq
                     )
             elif isinstance(pl, FrontEndPipeline):
-                from .pipeline.frontend import frontend_step
+                from .pipeline.frontend import frontend_step_serving
                 from .pipeline.state import init_state
 
                 base = pl.params
@@ -328,10 +333,15 @@ class FrontEnd:
                     base.rx._replace(audio_toep=None),
                     base.rx._replace(chan_toep=None, audio_toep=None),
                 ):
-                    frontend_step(
+                    frontend_step_serving(
                         self.cfg, base._replace(rx=rx_variant),
                         init_state(self.cfg), iq,
                     )
+            else:
+                log.debug(
+                    "front end %s: no variant warm-up for %s", self.uuid,
+                    type(pl).__name__)
+                return
             log.info("front end %s: alternate param structures warm",
                      self.uuid)
         except Exception:

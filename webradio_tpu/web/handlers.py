@@ -27,6 +27,7 @@ from __future__ import annotations
 import json
 import math
 import pathlib
+import threading
 
 from ..radio import Radio, Receiver
 
@@ -144,7 +145,10 @@ class ProfileHandler(HttpRequestHandler):
     GET reports the current state.
     """
 
-    _active_dir: str | None = None  # class-level: one trace at a time
+    # class-level: one trace at a time; the lock serializes the
+    # check-then-act sequences (thread-per-request server)
+    _active_dir: str | None = None
+    _lock = threading.Lock()
 
     def allows(self, wildcards) -> str:
         return "GET, POST"
@@ -163,26 +167,34 @@ class ProfileHandler(HttpRequestHandler):
         except json.JSONDecodeError:
             return HTTP_BAD_REQUEST
         action = root.get("action", "")
-        if action == "start":
-            if ProfileHandler._active_dir is not None:
-                return HTTP_BAD_REQUEST  # already tracing
-            trace_dir = str(root.get("dir", "/tmp/webradio_trace"))
-            try:
-                jax.profiler.start_trace(trace_dir)
-            except Exception as exc:  # backend without profiler support
-                return self.send_json({"error": str(exc)}) or HTTP_INTERNAL
-            ProfileHandler._active_dir = trace_dir
-            return self.send_json({"tracing": True, "trace_dir": trace_dir})
-        if action == "stop":
-            if ProfileHandler._active_dir is None:
-                return HTTP_BAD_REQUEST
-            trace_dir, ProfileHandler._active_dir = (
-                ProfileHandler._active_dir, None)
-            try:
-                jax.profiler.stop_trace()
-            except Exception as exc:
-                return self.send_json({"error": str(exc)}) or HTTP_INTERNAL
-            return self.send_json({"tracing": False, "trace_dir": trace_dir})
+        with ProfileHandler._lock:
+            if action == "start":
+                if ProfileHandler._active_dir is not None:
+                    return HTTP_BAD_REQUEST  # already tracing
+                trace_dir = str(root.get("dir", "/tmp/webradio_trace"))
+                try:
+                    jax.profiler.start_trace(trace_dir)
+                except Exception as exc:  # backend without profiler support
+                    self.send_json({"error": str(exc)})
+                    return HTTP_INTERNAL
+                ProfileHandler._active_dir = trace_dir
+                return self.send_json(
+                    {"tracing": True, "trace_dir": trace_dir})
+            if action == "stop":
+                if ProfileHandler._active_dir is None:
+                    return HTTP_BAD_REQUEST
+                try:
+                    jax.profiler.stop_trace()
+                except Exception as exc:
+                    # leave _active_dir set: the profiler is still (or
+                    # ambiguously) tracing — a retry stays possible and
+                    # GET keeps reporting the truth
+                    self.send_json({"error": str(exc)})
+                    return HTTP_INTERNAL
+                trace_dir, ProfileHandler._active_dir = (
+                    ProfileHandler._active_dir, None)
+                return self.send_json(
+                    {"tracing": False, "trace_dir": trace_dir})
         return HTTP_BAD_REQUEST
 
 
