@@ -1,0 +1,46 @@
+"""Parity test for the time-major fused Pallas tail (interpret mode on CPU).
+
+The kernel is a documented experiment (see ops/pallas_tail_tm.py's
+measured verdict) — not wired into the serving step — but its semantics
+must stay bit-near the unfused chain it mirrors, including the
+mixed-domain history carry interchangeability.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from webradio_tpu import ops
+from webradio_tpu.ops.pallas_tail_tm import fused_tail_tm, TIME_TILE, CHAN_TILE
+
+
+def test_matches_unfused_chain(rng):
+    nd, c, k = 2 * TIME_TILE, CHAN_TILE, 64
+    ci = jnp.asarray(rng.standard_normal((nd, c)).astype(np.float32))
+    cq = jnp.asarray(rng.standard_normal((nd, c)).astype(np.float32))
+    p0 = jnp.asarray(rng.integers(0, 2**31, c).astype(np.uint32))
+    st = jnp.asarray(rng.integers(0, 2**31, c).astype(np.uint32))
+    mode = jnp.asarray((np.arange(c) % 4).astype(np.int32))
+    hi = jnp.asarray(rng.standard_normal((k - 1, c)).astype(np.float32))
+    hq = jnp.asarray(rng.standard_normal((k - 1, c)).astype(np.float32))
+    prev = jnp.asarray(rng.standard_normal((2, c)).astype(np.float32))
+    coeff = np.asarray(ops.design_lowpass_fir(600_000, 2_400_000))
+    w = jnp.asarray(ops.toeplitz_weights(coeff, 1, 128))
+
+    mi, mq = ops.nco_mix_tm(ci, cq, p0, st)
+    x2 = jnp.concatenate([mi, mq], axis=1)
+    y2, nh2 = ops.fir_decimate_toeplitz_tm(
+        x2, w, 1, jnp.concatenate([hi, hq], axis=1))
+    ref_audio, ref_prev = ops.demodulate_tm(y2[:, :c], y2[:, c:], mode, prev)
+
+    audio, nhi, nhq, nprev = fused_tail_tm(
+        ci, cq, p0, st, w, mode, hi, hq, prev)
+
+    np.testing.assert_allclose(np.asarray(audio), np.asarray(ref_audio),
+                               atol=3e-6)
+    # history carries are bit-identical (pure pass-through of mixed rows)
+    np.testing.assert_allclose(np.asarray(nhi), np.asarray(nh2[:, :c]),
+                               atol=0)
+    np.testing.assert_allclose(np.asarray(nhq), np.asarray(nh2[:, c:]),
+                               atol=0)
+    np.testing.assert_allclose(np.asarray(nprev), np.asarray(ref_prev),
+                               atol=1e-6)

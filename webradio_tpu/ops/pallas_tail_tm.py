@@ -1,0 +1,261 @@
+"""Pallas fused time-major receiver tail: mix + shaping FIR + demod.
+
+The unfused time-major tail (pipeline/channelized.py) is already
+MXU-shaped, but XLA still round-trips each stage through HBM: the mixed
+planes (2x [nd, C]) are written by the NCO fusion and re-read by the FIR
+matmuls, and the shaped planes are written again before the demod fusion
+reads them — ~350 MB of avoidable traffic per 42.7 ms block at C=1024.
+This kernel keeps one (time-tile x channel-tile) slab resident in VMEM
+through
+
+    residual NCO mix -> shared 64-tap shaping FIR (decim 1, MXU) -> demod
+
+writing back only the demodulated audio plus the tiny carries.
+
+**Measured verdict (v5e, C=1024, nd=10240): the fused kernel runs 2.18
+ms/iter vs 1.51 ms for the unfused XLA chain** — XLA's wide
+whole-array fusions amortize VPU op overhead better than this kernel's
+[1088, 128] tiles, and its automatic pipelining already hides the
+inter-stage HBM traffic the kernel was built to avoid. Kept as a
+correct, parity-tested reference for the manual-DMA overlapping-window
+pattern (BlockSpecs cannot express overlap), NOT wired into the serving
+step. Raising CHAN_TILE past 128 exceeds VMEM with these slab sizes.
+
+Semantics are identical to the unfused ops (bit-near; float32 everywhere):
+quantized 31/16-bit NCO phase (ops/nco.py, downconverter.cxx:35-52),
+banded-Toeplitz FIR at HIGHEST precision (ops/fir.py, lowpass.cxx:131-162),
+reference demod laws incl. the FM ``atan2(ii, qq)`` arg order
+(ops/demod.py, demodulator.cxx:83-112). The cross-block FIR state is the
+MIXED-domain input tail, exactly like the unfused path, so states are
+interchangeable between the two.
+
+Layout: time on sublanes (major), channels on lanes, grid
+``(chan_tiles, time_tiles)`` with time innermost — the FM discriminator's
+one-sample lag crosses time tiles through a VMEM scratch carry (TPU grids
+execute sequentially, so scratch persists across grid steps).
+Overlapping input windows (K-1 rows of left halo) cannot be expressed as
+a BlockSpec, so the extended planes stay in ANY/HBM memory and each
+program DMAs its own slab.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .nco import LOOKUP_BITS, LOOKUP_MASK, LOOKUP_SHIFT, PHASE_MASK
+from .trig import atan2
+from .demod import MODE_AM, MODE_FM, MODE_USB
+
+_ANGLE_SCALE = np.float32(2.0 * np.pi / (1 << LOOKUP_BITS))
+_INV_2PI = np.float32(1.0 / (2.0 * np.pi))
+
+CHAN_TILE = 128  # lanes
+TIME_TILE = 1024  # sublanes per program (multiple of the FIR tile T)
+
+
+def _kernel(k_taps, fir_tile, nd,
+            exti_hbm, extq_hbm, phase0_ref, step_ref, mode_ref, prev_ref,
+            w_ref,
+            audio_ref, nprev_ref, histi_ref, histq_ref,
+            slab_i, slab_q, lag_ref, sems):
+    k = k_taps
+    t = fir_tile
+    tg = TIME_TILE
+    ti = pl.program_id(1)
+    n_ti = pl.num_programs(1)
+    ci = pl.program_id(0)
+    # K-1 rows of left halo + 1 trailing dummy row so the DMA'd slab row
+    # count (tg + k) stays sublane-aligned (Mosaic requires multiples of 8)
+    rows = tg + k
+
+    # ---- fetch this program's input slab (overlapping window) ----------
+    row0 = ti * tg
+    col0 = ci * CHAN_TILE
+    cp_i = pltpu.make_async_copy(
+        exti_hbm.at[pl.ds(row0, rows), pl.ds(col0, CHAN_TILE)],
+        slab_i, sems.at[0],
+    )
+    cp_q = pltpu.make_async_copy(
+        extq_hbm.at[pl.ds(row0, rows), pl.ds(col0, CHAN_TILE)],
+        slab_q, sems.at[1],
+    )
+    cp_i.start()
+    cp_q.start()
+    cp_i.wait()
+    cp_q.wait()
+
+    # ---- residual NCO mix (quantized-phase semantics) -------------------
+    # slab row r holds sample n = row0 + r - (K-1); uint32 wrap keeps the
+    # phase correct for the (negative-n) history rows of tile 0 too
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, CHAN_TILE), 0)
+    n = (row0 + r - (k - 1)).astype(jnp.uint32)
+    phase0 = phase0_ref[0, :]
+    step = step_ref[0, :]
+    phases = (phase0[None, :] + n * step[None, :]) & jnp.uint32(PHASE_MASK)
+    sinidx = phases >> LOOKUP_SHIFT
+    cosidx = (sinidx + jnp.uint32((1 << LOOKUP_BITS) // 4)) & jnp.uint32(
+        LOOKUP_MASK
+    )
+    s = jnp.sin(sinidx.astype(jnp.int32).astype(jnp.float32) * _ANGLE_SCALE)
+    c = jnp.sin(cosidx.astype(jnp.int32).astype(jnp.float32) * _ANGLE_SCALE)
+    xi = slab_i[:]
+    xq = slab_q[:]
+    # the first K-1 ext rows (tile 0's left halo) carry the PREVIOUS
+    # block's already-mixed tail — pass them through unmixed
+    is_hist = (row0 + r) < (k - 1)
+    mi = jnp.where(is_hist, xi, xi * c + xq * s)
+    mq = jnp.where(is_hist, xq, xq * c - xi * s)
+
+    # ---- shaping FIR: banded-Toeplitz MXU products ----------------------
+    # out rows j*T..(j+1)*T from mixed rows j*T..j*T+span
+    span = t + k - 1
+    wt = w_ref[:].T  # [T, span]
+    outs_i, outs_q = [], []
+    for j in range(tg // t):
+        seg_i = lax.slice_in_dim(mi, j * t, j * t + span, axis=0)
+        seg_q = lax.slice_in_dim(mq, j * t, j * t + span, axis=0)
+        outs_i.append(jnp.dot(wt, seg_i, preferred_element_type=jnp.float32,
+                              precision=lax.Precision.HIGHEST))
+        outs_q.append(jnp.dot(wt, seg_q, preferred_element_type=jnp.float32,
+                              precision=lax.Precision.HIGHEST))
+    yi = jnp.concatenate(outs_i, axis=0)  # [tg, C_tile]
+    yq = jnp.concatenate(outs_q, axis=0)
+
+    # ---- demod (AM/FM/USB/LSB), FM lag crosses tiles via scratch --------
+    @pl.when(ti == 0)
+    def _():
+        lag_ref[:] = prev_ref[:]  # [2, C_tile] from carried state
+
+    lag_i = jnp.concatenate([lag_ref[0:1, :], yi[:-1, :]], axis=0)
+    lag_q = jnp.concatenate([lag_ref[1:2, :], yq[:-1, :]], axis=0)
+
+    am = jnp.sqrt(yi * yi + yq * yq)
+    ii = yi * lag_i + yq * lag_q
+    qq = yq * lag_i - yi * lag_q
+    fm = atan2(ii, qq) * _INV_2PI  # reference arg order
+    usb = yi + yq
+    lsb = yi - yq
+    mode = mode_ref[0, :]
+    audio = jnp.where(
+        mode[None, :] == MODE_AM, am,
+        jnp.where(mode[None, :] == MODE_FM, fm,
+                  jnp.where(mode[None, :] == MODE_USB, usb, lsb)),
+    )
+    audio_ref[:] = audio
+    lag_ref[0, :] = yi[tg - 1, :]
+    lag_ref[1, :] = yq[tg - 1, :]
+
+    # ---- carries out on the last time tile ------------------------------
+    @pl.when(ti == n_ti - 1)
+    def _():
+        nprev_ref[0, :] = yi[tg - 1, :]
+        nprev_ref[1, :] = yq[tg - 1, :]
+        histi_ref[:] = mi[tg : tg + k - 1, :]  # last K-1 mixed rows
+        histq_ref[:] = mq[tg : tg + k - 1, :]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_tail_tm(
+    ci_planes: jax.Array,
+    cq_planes: jax.Array,
+    phase0: jax.Array,
+    phase_step: jax.Array,
+    w_toep: jax.Array,
+    mode: jax.Array,
+    chan_hist_i: jax.Array,
+    chan_hist_q: jax.Array,
+    demod_prev: jax.Array,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Fused mix+FIR+demod over time-major planes.
+
+    Args:
+      ci_planes / cq_planes: ``[nd, C]`` float32 selected-bin planes
+        (pfb_channelize_direct_tm output). ``nd % TIME_TILE == 0``,
+        ``C % CHAN_TILE == 0``.
+      phase0 / phase_step: ``[C]`` uint32 residual NCO state (phase of the
+        first sample of this block) / per-sample step.
+      w_toep: ``[span, T]`` shared banded weights (ops.toeplitz_weights,
+        decim 1); ``TIME_TILE % T == 0``.
+      mode: ``[C]`` int32 demod law.
+      chan_hist_i / chan_hist_q: ``[K-1, C]`` MIXED-domain input tails of
+        the previous block (same carry as the unfused tm path).
+      demod_prev: ``[2, C]`` float32 FM previous shaped sample.
+
+    Returns ``(audio [nd, C], new_hist_i, new_hist_q, new_demod_prev)``.
+    """
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    nd, c = ci_planes.shape
+    span, t = w_toep.shape
+    k = span - t + 1
+    if nd % TIME_TILE:
+        raise ValueError(f"nd {nd} must be a multiple of {TIME_TILE}")
+    if c % CHAN_TILE:
+        raise ValueError(f"channels {c} must be a multiple of {CHAN_TILE}")
+    if TIME_TILE % t:
+        raise ValueError(f"TIME_TILE must be a multiple of the FIR tile {t}")
+    if chan_hist_i.shape[0] != k - 1:
+        raise ValueError("history length does not match the kernel")
+
+    pad = jnp.zeros((1, c), jnp.float32)  # trailing dummy row (see _kernel)
+    exti = jnp.concatenate([chan_hist_i, ci_planes, pad], axis=0)
+    extq = jnp.concatenate([chan_hist_q, cq_planes, pad], axis=0)
+
+    grid = (c // CHAN_TILE, nd // TIME_TILE)
+    chan_cols = lambda i, j: (0, i)
+
+    audio, nprev, histi, histq = pl.pallas_call(
+        functools.partial(_kernel, k, t, nd),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # exti (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # extq
+            pl.BlockSpec((1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # phase0
+            pl.BlockSpec((1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # step
+            pl.BlockSpec((1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # mode
+            pl.BlockSpec((2, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # demod_prev
+            pl.BlockSpec((span, t), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),  # weights
+        ],
+        out_specs=(
+            pl.BlockSpec((TIME_TILE, CHAN_TILE), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nd, c), jnp.float32),
+            jax.ShapeDtypeStruct((2, c), jnp.float32),
+            jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TIME_TILE + k, CHAN_TILE), jnp.float32),
+            pltpu.VMEM((TIME_TILE + k, CHAN_TILE), jnp.float32),
+            pltpu.VMEM((2, CHAN_TILE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(
+        exti, extq,
+        phase0[None, :], phase_step[None, :],
+        mode.astype(jnp.int32)[None, :], demod_prev,
+        w_toep,
+    )
+    return audio, histi, histq, nprev
