@@ -365,6 +365,40 @@ class TestTimeMajorTwins:
         np.testing.assert_allclose(np.asarray(q_tm.T), np.asarray(ref[1]),
                                    atol=1e-6)
 
+    @pytest.mark.parametrize("n", [512, 1000, 10_240])
+    def test_nco_mix_tm_fast(self, rng, n):
+        """Factored-phasor mixer vs the quantized-table mixer: the only
+        deviation is the LO's 16-bit phase quantization, bounded by
+        2pi/2^16 rad -> ~|x| * 1e-4 absolute, and >80 dB SNR."""
+        c = 8
+        x = jnp.asarray(rng.standard_normal((2, c, n)).astype(np.float32))
+        p0 = jnp.asarray(rng.integers(0, 2**31, c).astype(np.uint32))
+        st = jnp.asarray(rng.integers(0, 2**31, c).astype(np.uint32))
+        ref = np.asarray(ops.nco_mix(x, p0, st))
+        i_f, q_f = ops.nco_mix_tm_fast(x[0].T, x[1].T, p0, st)
+        got = np.stack([np.asarray(i_f.T), np.asarray(q_f.T)])
+        np.testing.assert_allclose(got, ref, atol=2e-3)
+        assert snr_db(ref.ravel(), got.ravel()) > 80
+
+    def test_nco_mix_tm_fast_block_split(self, rng):
+        """Phase carry: mixing one long block equals mixing two halves with
+        nco_advance between them (same uint32 state contract)."""
+        n, c = 2048, 4
+        x = jnp.asarray(rng.standard_normal((2, c, n)).astype(np.float32))
+        p0 = jnp.asarray(rng.integers(0, 2**31, c).astype(np.uint32))
+        st = jnp.asarray(rng.integers(0, 2**31, c).astype(np.uint32))
+        i_full, q_full = ops.nco_mix_tm_fast(x[0].T, x[1].T, p0, st)
+        h = n // 2
+        i1, q1 = ops.nco_mix_tm_fast(x[0, :, :h].T, x[1, :, :h].T, p0, st)
+        p1 = ops.nco_advance(p0, st, h)
+        i2, q2 = ops.nco_mix_tm_fast(x[0, :, h:].T, x[1, :, h:].T, p1, st)
+        np.testing.assert_allclose(
+            np.asarray(i_full), np.concatenate([i1, i2]), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(q_full), np.concatenate([q1, q2]), atol=1e-5
+        )
+
     def test_demodulate_tm(self, rng):
         import jax.numpy as jnp
         n, c = 512, 4

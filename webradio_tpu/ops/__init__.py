@@ -39,7 +39,13 @@ from .fir import (
     toeplitz_tile,
     toeplitz_weights,
 )
-from .nco import nco_phase_step, nco_mix, nco_mix_tm, nco_advance
+from .nco import (
+    nco_phase_step,
+    nco_mix,
+    nco_mix_tm,
+    nco_mix_tm_fast,
+    nco_advance,
+)
 from .demod import (
     MODES,
     MODE_AM,
@@ -68,6 +74,7 @@ __all__ = [
     "nco_phase_step",
     "nco_mix",
     "nco_mix_tm",
+    "nco_mix_tm_fast",
     "nco_advance",
     "MODES",
     "MODE_AM",

@@ -243,12 +243,13 @@ def toeplitz_weights(
     return w
 
 
-@functools.partial(jax.jit, static_argnames=("decimation",))
+@functools.partial(jax.jit, static_argnames=("decimation", "precision"))
 def fir_decimate_toeplitz(
     x: jax.Array,
     w: jax.Array,
     decimation: int,
     history: jax.Array,
+    precision: lax.Precision = lax.Precision.HIGHEST,
 ) -> tuple[jax.Array, jax.Array]:
     """Decimating FIR as tiled MXU matmuls; same contract and state carry
     as :func:`fir_decimate` (``history [..., K-1]``, ``new_history =
@@ -260,10 +261,11 @@ def fir_decimate_toeplitz(
       w: ``[span, T]`` from :func:`toeplitz_weights`.
 
     The overlapping input tiles ``[..., nb, span]`` are assembled with two
-    plain reshapes plus a halo slice (no gather); the matmul runs at
+    plain reshapes plus a halo slice (no gather); the matmul defaults to
     ``precision=HIGHEST`` so the result matches the direct form to float32
     rounding (>130 dB SNR measured) and block-size invariance holds within
-    the framework's 3e-6 tolerance.
+    the framework's 3e-6 tolerance. ``precision=HIGH`` halves the MXU pass
+    count (bf16x3) for throughput-bound many-channel serving at ~90 dB SNR.
     """
     d = int(decimation)
     span, t = w.shape
@@ -294,7 +296,8 @@ def fir_decimate_toeplitz(
         for g in range(groups):
             sl = slice(g * step, (g + 1) * step)
             y, h = fir_decimate_toeplitz(
-                x[..., sl, :], w, decimation, history[..., sl, :]
+                x[..., sl, :], w, decimation, history[..., sl, :],
+                precision=precision,
             )
             ys.append(y)
             hs.append(h)
@@ -319,7 +322,7 @@ def fir_decimate_toeplitz(
         tiles,
         w,
         dimension_numbers=(((tiles.ndim - 1,), (0,)), ((), ())),
-        precision=lax.Precision.HIGHEST,
+        precision=precision,
         preferred_element_type=jnp.float32,
     )  # [..., nb, T]
     y = y.reshape(x.shape[:-1] + (nb * t,))
@@ -327,12 +330,13 @@ def fir_decimate_toeplitz(
     return y, new_history
 
 
-@functools.partial(jax.jit, static_argnames=("decimation",))
+@functools.partial(jax.jit, static_argnames=("decimation", "precision"))
 def fir_decimate_toeplitz_tm(
     x: jax.Array,
     w: jax.Array,
     decimation: int,
     history: jax.Array,
+    precision: lax.Precision = lax.Precision.HIGHEST,
 ) -> tuple[jax.Array, jax.Array]:
     """Time-major Toeplitz FIR: ``x [N, C] -> y [N // D, C]``.
 
@@ -380,7 +384,7 @@ def fir_decimate_toeplitz_tm(
         wt[..., :stride] if halo > 0 else wt[..., :span],
         a if halo > 0 else a[:, :span],
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        precision=lax.Precision.HIGHEST,
+        precision=precision,
         preferred_element_type=jnp.float32,
     )  # [nb, T, C]
     if halo > 0:
@@ -389,7 +393,7 @@ def fir_decimate_toeplitz_tm(
             wt[..., stride:],
             b,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            precision=lax.Precision.HIGHEST,
+            precision=precision,
             preferred_element_type=jnp.float32,
         )
     y = y.reshape(nd, c)

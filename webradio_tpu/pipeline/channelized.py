@@ -61,6 +61,19 @@ class ChannelizedConfig:
     #: chan_frames % 1024 == 0; the FIR state carry becomes the raw
     #: (pre-mix) tail, so states are not interchangeable across the flag.
     use_pallas_tail: bool = False
+    #: factored-phasor residual mixer (ops.nco_mix_tm_fast): ~2*sqrt(N)
+    #: transcendentals per channel instead of 2N. Same uint32 phase carry;
+    #: the LO sine is evaluated at the full 31-bit phase instead of the
+    #: reference's 16-bit table quantization (strictly more accurate).
+    #: Set False for bit-level table semantics in the time-major path.
+    fast_nco: bool = True
+    #: MXU pass count for the time-major Toeplitz FIRs: "highest" (bf16x6,
+    #: float32-identical to the direct form) or "high" (bf16x3, ~half the
+    #: MXU work at ~90 dB SNR vs the direct form — ample for the audio
+    #: chain, whose reference is float32 end-to-end anyway).
+    fir_precision: str = "highest"
+
+    _FIR_PRECISIONS = ("highest", "high")
 
     def __post_init__(self):
         if self.sample_rate % self.channel_rate:
@@ -72,6 +85,10 @@ class ChannelizedConfig:
         if self.block_frames % (self.num_bins * self.audio_decim):
             raise ValueError(
                 "block_frames must be a multiple of num_bins * audio_decim"
+            )
+        if self.fir_precision not in self._FIR_PRECISIONS:
+            raise ValueError(
+                f"fir_precision must be one of {self._FIR_PRECISIONS}"
             )
 
     @property
@@ -237,22 +254,27 @@ def channelized_step(
         ci, cq, pfb_hist = pfb_channelize_direct_tm(
             iq, params.pfb_weights, cfg.num_bins, state.pfb_hist
         )  # [nd, C] planes
-        mi, mq = ops.nco_mix_tm(
-            ci, cq, state.nco_phase, params.residual_step
-        )
+        mix_tm = ops.nco_mix_tm_fast if cfg.fast_nco else ops.nco_mix_tm
+        mi, mq = mix_tm(ci, cq, state.nco_phase, params.residual_step)
         # both planes through one banded matmul: stack on the lane axis
         x2 = jnp.concatenate([mi, mq], axis=1)  # [nd, 2C]
         hist_tm = jnp.concatenate(
             [state.chan_hist[0].T, state.chan_hist[1].T], axis=1
         )  # [K-1, 2C] (tiny transposes)
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if cfg.fir_precision == "highest"
+            else jax.lax.Precision.HIGH
+        )
         y2, h2 = ops.fir_decimate_toeplitz_tm(
-            x2, params.chan_toep, 1, hist_tm
+            x2, params.chan_toep, 1, hist_tm, precision=prec
         )
         audio_tm, demod_prev = ops.demodulate_tm(
             y2[:, :c], y2[:, c:], params.mode, state.demod_prev
         )
         audio, audio_hist_tm = ops.fir_decimate_toeplitz_tm(
-            audio_tm, params.audio_toep, cfg.audio_decim, state.audio_hist.T
+            audio_tm, params.audio_toep, cfg.audio_decim, state.audio_hist.T,
+            precision=prec,
         )
         audio = audio.T  # [C, audio_frames] — the host layout
         # squelch gate power from the pre-mix selected bins (same signal
