@@ -243,6 +243,34 @@ class TestShardedChannelized:
             )
 
 
+def test_tail_kernel_step_parity(rng):
+    """channelized_step with tail_kernel="pallas" matches "xla" (both on
+    the quantized NCO) and carries interchangeable state."""
+    from webradio_tpu.ops.pallas_tail_tm import TIME_TILE, CHAN_TILE
+
+    c = CHAN_TILE
+    bf = 10 * TIME_TILE * 5  # nd = 5*TIME_TILE; multiple of bins*audio_decim
+    base = dict(num_channels=c, block_frames=bf, fast_nco=False)
+    cfg_x = ChannelizedConfig(**base, tail_kernel="xla")
+    cfg_p = ChannelizedConfig(**base, tail_kernel="pallas")
+    ifs = [((i % 16) - 8) * 100_000 + 777 for i in range(c)]
+    modes = [["FM", "AM", "USB", "LSB"][i % 4] for i in range(c)]
+    params = make_channelized_params(cfg_x, ifs, 80_000, 8_000, modes)
+    z = (rng.standard_normal(bf) + 1j * rng.standard_normal(bf)).astype(
+        np.complex64
+    )
+    s_x = init_channelized_state(cfg_x)
+    s_p = init_channelized_state(cfg_p)
+    # two blocks so the mixed-domain history carry crosses the boundary
+    for _ in range(2):
+        s_x, a_x, _ = channelized_step(cfg_x, params, s_x, planes(z))
+        s_p, a_p, _ = channelized_step(cfg_p, params, s_p, planes(z))
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x), atol=1e-5)
+    for f_x, f_p in zip(s_x, s_p):
+        np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x),
+                                   atol=3e-6)
+
+
 def test_mixed_bandwidth_structure_switch(rng):
     """A control write that diverges one channel's bandwidth flips the
     params structure (shared-Toeplitz -> per-channel FIR); both structures

@@ -42,6 +42,45 @@ class TestFirDesign:
         # unit DC gain-ish: sum of taps ~ brick-wall DC response
         assert abs(float(np.sum(ours)) - 1.0) < 0.15
 
+    def test_reference_design_silences_narrow_passband(self):
+        """Documented reference quirk (lowpass.cxx:167): integer-division
+        cutoff truncates to bin 0 below 2*fs/N, yielding the all-zero
+        filter — reproduced deliberately for parity."""
+        from webradio_tpu.ops.firdesign import design_lowpass_fir
+
+        coeff = design_lowpass_fir(4_000, 240_000)
+        assert float(np.abs(coeff).max()) == 0.0
+
+    def test_sinc_design_passes_narrow_passband(self):
+        """The quirk-free windowed-sinc design: unity DC gain, passband
+        tone passes, stopband tone attenuated, at a passband where the
+        reference design is identically zero."""
+        from webradio_tpu.ops.firdesign import design_lowpass_fir_sinc
+
+        fs = 240_000
+        coeff = np.asarray(design_lowpass_fir_sinc(4_000, fs), np.float64)
+        assert abs(coeff.sum() - 1.0) < 1e-6  # unity DC gain
+
+        def gain(f_hz):
+            n = np.arange(coeff.size)
+            z = np.exp(-2j * np.pi * f_hz / fs * n)
+            return abs(np.dot(coeff, z))
+
+        assert gain(500) > 0.7          # in-band
+        assert gain(30_000) < 0.05      # stopband
+
+    def test_design_selector_cached(self):
+        from webradio_tpu.ops import firdesign
+
+        a = firdesign.design_lowpass_fir_cached(8_000, 240_000,
+                                                design="sinc")
+        b = firdesign.design_lowpass_fir_cached(8_000, 240_000,
+                                                design="reference")
+        assert not np.allclose(a, b)
+        with pytest.raises(ValueError):
+            firdesign.design_lowpass_fir_cached(8_000, 240_000,
+                                                design="butterworth")
+
     def test_non_pow2_rejected(self):
         with pytest.raises(ValueError):
             ops.design_lowpass_fir(1000, 48000, fir_length=60)

@@ -1,9 +1,9 @@
 """Parity test for the time-major fused Pallas tail (interpret mode on CPU).
 
-The kernel is a documented experiment (see ops/pallas_tail_tm.py's
-measured verdict) — not wired into the serving step — but its semantics
-must stay bit-near the unfused chain it mirrors, including the
-mixed-domain history carry interchangeability.
+The kernel is auto-selected by channelized_step at large channel counts
+(see ops/pallas_tail_tm.py's measured verdict); its semantics must stay
+bit-near the unfused chain it mirrors, including the mixed-domain
+history carry interchangeability.
 """
 
 import numpy as np

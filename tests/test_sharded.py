@@ -137,3 +137,45 @@ class TestMultihost:
         g = make_global_block(local, cfg.block_frames, mesh)
         audio, spectra = fe.process(g)
         assert audio.shape == (4, cfg.audio_frames)
+
+
+def test_tm_shard_body_matches_stage_body(rng, monkeypatch):
+    """The time-major shard body (local-tail-recompute halos + fused tail)
+    reproduces the stage-by-stage body on identical params/state across
+    carried blocks."""
+    from webradio_tpu.parallel import sharded_channelized as sc
+    from webradio_tpu.pipeline.channelized import (
+        ChannelizedConfig, make_channelized_params,
+    )
+
+    cfg = ChannelizedConfig(
+        sample_rate=1_024_000, channel_rate=128_000, audio_rate=32_000,
+        block_frames=16_384, num_channels=8,
+    )
+    params = make_channelized_params(
+        cfg, [i * 11_000 - 40_000 for i in range(8)], 80_000, 8_000,
+        ["FM", "AM", "USB", "LSB"] * 2,
+    )
+    assert sc._tm_body_eligible(cfg, 2, params)
+    mesh = make_mesh(2, 4)
+    blocks = [
+        jnp.asarray(rng.standard_normal((2, cfg.block_frames))
+                    .astype(np.float32))
+        for _ in range(2)
+    ]
+
+    fe_tm = sc.ShardedChannelizedFrontEnd(cfg, params, mesh)
+    outs_tm = [fe_tm.process(b) for b in blocks]
+
+    monkeypatch.setattr(sc, "_tm_body_eligible", lambda *a: False)
+    fe_st = sc.ShardedChannelizedFrontEnd(cfg, params, mesh)
+    outs_st = [fe_st.process(b) for b in blocks]
+
+    for (a_tm, s_tm), (a_st, s_st) in zip(outs_tm, outs_st):
+        np.testing.assert_allclose(np.asarray(a_tm), np.asarray(a_st),
+                                   atol=3e-4)
+        np.testing.assert_allclose(np.asarray(s_tm), np.asarray(s_st),
+                                   atol=1e-3)
+    for f_tm, f_st in zip(fe_tm.state, fe_st.state):
+        np.testing.assert_allclose(np.asarray(f_tm), np.asarray(f_st),
+                                   atol=2e-4)

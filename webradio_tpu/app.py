@@ -179,9 +179,11 @@ class RadioApp:
                 channel_rate=tcfg.get("channel_rate", 240_000),
                 audio_rate=tcfg.get("audio_rate", 48_000),
                 block_frames=tcfg.get("block_frames", 102_400),
+                fir_design=tcfg.get("fir_design", "reference"),
             )
             fe = FrontEnd(tuner, chain, capacity=tcfg.get("capacity", 4),
-                          engine=tcfg.get("engine", "auto"))
+                          engine=tcfg.get("engine", "auto"),
+                          fir_precision=tcfg.get("fir_precision", "highest"))
             self.front_ends.append(fe)
         for rcfg in self.config.get("receivers", []):
             rx = Receiver()

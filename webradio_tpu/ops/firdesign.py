@@ -55,21 +55,60 @@ def design_lowpass_fir(
     return reordered * (hamming(n) / np.float32(n))
 
 
+def design_lowpass_fir_sinc(
+    passband_hz: int,
+    input_rate_hz: int,
+    fir_length: int = FIR_LENGTH,
+) -> np.ndarray:
+    """Hamming-windowed-sinc lowpass: the quirk-free alternative design.
+
+    The reference design (:func:`design_lowpass_fir`) quantizes the cutoff
+    to DFT bins with C++ integer division (lowpass.cxx:167) — below
+    ``2 * fs / fir_length`` (7.5 kHz at the 240 kHz channel rate) the
+    cutoff bin truncates to ZERO and the filter is identically zero, i.e.
+    the reference goes silent at narrow audio passbands. This design uses
+    the true cutoff ``passband / 2`` Hz (``passband`` remains the
+    double-sided bandwidth) with unity DC gain, so narrow-voice
+    configurations work. Select with ``fir_design="sinc"`` on the chain
+    configs; "reference" stays the default for oracle parity.
+    """
+    n = int(fir_length)
+    fc = float(passband_hz) / 2.0 / float(input_rate_hz)  # cycles/sample
+    if fc <= 0 or fc > 0.5:
+        raise ValueError("passband out of range for this input rate")
+    t = np.arange(n, dtype=np.float64) - (n - 1) / 2.0
+    h = 2.0 * fc * np.sinc(2.0 * fc * t)
+    h *= hamming(n).astype(np.float64)
+    h /= h.sum()
+    return h.astype(np.float32)
+
+
+DESIGNS = {
+    "reference": design_lowpass_fir,
+    "sinc": design_lowpass_fir_sinc,
+}
+
+
 @functools.lru_cache(maxsize=512)
-def _design_cached(passband_hz: int, input_rate_hz: int, fir_length: int):
-    out = design_lowpass_fir(passband_hz, input_rate_hz, fir_length)
+def _design_cached(passband_hz: int, input_rate_hz: int, fir_length: int,
+                   design: str):
+    out = DESIGNS[design](passband_hz, input_rate_hz, fir_length)
     out.setflags(write=False)
     return out
 
 
 def design_lowpass_fir_cached(
-    passband_hz: int, input_rate_hz: int, fir_length: int = FIR_LENGTH
+    passband_hz: int, input_rate_hz: int, fir_length: int = FIR_LENGTH,
+    design: str = "reference",
 ) -> np.ndarray:
-    """Memoized :func:`design_lowpass_fir` (read-only array).
+    """Memoized FIR design (read-only array); ``design`` picks the law
+    (:data:`DESIGNS`).
 
     Control-plane rebuilds design one FIR per channel; at thousands of
     channels most share a handful of bandwidths, so the cache turns a
     per-PUT O(C) design pass into O(distinct bandwidths).
     """
+    if design not in DESIGNS:
+        raise ValueError(f"design must be one of {sorted(DESIGNS)}")
     return _design_cached(int(passband_hz), int(input_rate_hz),
-                          int(fir_length))
+                          int(fir_length), design)

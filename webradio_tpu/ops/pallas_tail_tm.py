@@ -12,14 +12,16 @@ through
 
 writing back only the demodulated audio plus the tiny carries.
 
-**Measured verdict (v5e, C=1024, nd=10240): the fused kernel runs 2.18
-ms/iter vs 1.51 ms for the unfused XLA chain** — XLA's wide
-whole-array fusions amortize VPU op overhead better than this kernel's
-[1088, 128] tiles, and its automatic pipelining already hides the
-inter-stage HBM traffic the kernel was built to avoid. Kept as a
-correct, parity-tested reference for the manual-DMA overlapping-window
-pattern (BlockSpecs cannot express overlap), NOT wired into the serving
-step. Raising CHAN_TILE past 128 exceeds VMEM with these slab sizes.
+**Measured verdict (v5e): scale-dependent.** At C=1024 (nd=10240) the
+fused kernel runs 2.18 ms/iter vs 1.51 ms for the unfused XLA chain —
+XLA's wide whole-array fusions amortize VPU op overhead better than this
+kernel's [1088, 128] tiles at small channel counts. At C=16384 the
+kernel wins 32.5 vs 42.1 ms: the XLA chain's halo-as-second-matmul FIR
+pays an extra full write+read of the [nd, C] planes that no longer fits
+in any cache, while this kernel's single HBM round-trip dominates.
+``channelized_step`` therefore auto-selects it above
+``PALLAS_TM_AUTO_THRESHOLD`` channels (pipeline/channelized.py).
+Raising CHAN_TILE past 128 exceeds VMEM with these slab sizes.
 
 Semantics are identical to the unfused ops (bit-near; float32 everywhere):
 quantized 31/16-bit NCO phase (ops/nco.py, downconverter.cxx:35-52),

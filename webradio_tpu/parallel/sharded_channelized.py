@@ -35,7 +35,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .. import ops
-from ..ops.channelizer import pfb_channelize_direct
+from ..ops.channelizer import pfb_channelize_direct, pfb_channelize_direct_tm
 from ..pipeline.channelized import (
     ChannelizedConfig,
     ChannelizedParams,
@@ -116,6 +116,184 @@ def _shard_body(cfg: ChannelizedConfig, t_shards: int, params, state, iq_local):
     return new_state, audio, spectra
 
 
+def _shard_body_tm(cfg: ChannelizedConfig, t_shards: int, c_shards: int,
+                   params, state, iq_local):
+    """Time-major shard body: the fast single-chip tail per shard.
+
+    The stage-by-stage body (:func:`_shard_body`) extracts each halo from
+    a materialized stage output, forcing every stage to finish before its
+    ppermute. Here the three tail halos (mixed FIR history, demod prev
+    sample, audio FIR history) are instead *recomputed locally* from the
+    shard's last ``2K-1`` selected-bin rows — an elementwise mix, one tiny
+    ``[K, 2K-1] @ [2K-1, C]`` matmul, and a ``K-1``-row demod — then moved
+    with one ppermute each. The main tail then runs as the single-chip
+    time-major path (pipeline/channelized.py), including the fused Pallas
+    kernel when the local tile constraints hold, with no mid-stage
+    synchronization points.
+    """
+    tidx = lax.axis_index("time")
+    n_local = cfg.block_frames // t_shards
+    nd_local = n_local // cfg.num_bins
+    c_local = cfg.num_channels // c_shards
+    k = cfg.fir_length
+    kp = cfg.proto_taps
+    perm = _right_perm(t_shards)
+    pmask = jnp.uint32(ops.nco.PHASE_MASK)
+
+    spectra = ops.spectrum_accumulate(iq_local, cfg.fft_size)
+
+    # ---- filterbank: raw-input history halo (same as the stage body)
+    iq_halo = lax.ppermute(iq_local[:, iq_local.shape[-1] - (kp - 1):],
+                           "time", perm)
+    pfb_hist = jnp.where(tidx == 0, state.pfb_hist, iq_halo)
+    ci, cq, pfb_hist_local = pfb_channelize_direct_tm(
+        iq_local, params.pfb_weights, cfg.num_bins, pfb_hist
+    )  # [nd_local, C_local]
+    new_pfb_hist = _from_last(pfb_hist_local, tidx, t_shards)
+
+    # ---- residual NCO start phase per shard (closed form, no comms)
+    shard_start = (tidx * nd_local).astype(jnp.uint32)
+    phase_here = (
+        state.nco_phase + shard_start * params.residual_step
+    ) & pmask
+    new_phase = ops.nco_advance(
+        state.nco_phase, params.residual_step, cfg.chan_frames
+    )
+
+    use_pallas = _tm_uses_pallas(cfg, nd_local, c_local, params)
+    # the halo recompute must mix with the same law as the main tail so
+    # the injected histories are bit-consistent with what the neighbor's
+    # tail actually computed
+    mix_tm = (
+        ops.nco_mix_tm if (use_pallas or not cfg.fast_nco)
+        else ops.nco_mix_tm_fast
+    )
+
+    # ---- local tail recompute: last 2K-1 mixed rows give every halo
+    t_rows = 2 * k - 1
+    row0 = jnp.uint32(nd_local - t_rows)
+    phase_t = (phase_here + row0 * params.residual_step) & pmask
+    mt_i, mt_q = mix_tm(ci[nd_local - t_rows:], cq[nd_local - t_rows:],
+                        phase_t, params.residual_step)
+    # shaped[-K:] via one small banded matmul: W_tail [2K-1, K] from the
+    # shared kernel (chan_toep column 0 holds the reversed coefficients)
+    rev = params.chan_toep[:k, 0]
+    w_tail = jnp.stack(
+        [jnp.pad(rev, (m, k - 1 - m)) for m in range(k)], axis=1
+    )  # [2K-1, K]
+    st_i = jax.lax.dot_general(
+        w_tail, mt_i, dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [K, C_local] = shaped rows nd-K .. nd-1
+    st_q = jax.lax.dot_general(
+        w_tail, mt_q, dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    audio_tail, _ = ops.demodulate_tm(
+        st_i[1:], st_q[1:], params.mode,
+        jnp.stack([st_i[0], st_q[0]]),
+    )  # [K-1, C_local] = audio_if rows nd-(K-1) .. nd-1
+
+    # ---- one ppermute per halo; shard 0 takes the block-level carry
+    mixed_halo_i = lax.ppermute(mt_i[t_rows - (k - 1):], "time", perm)
+    mixed_halo_q = lax.ppermute(mt_q[t_rows - (k - 1):], "time", perm)
+    hist_i = jnp.where(tidx == 0, state.chan_hist[0].T, mixed_halo_i)
+    hist_q = jnp.where(tidx == 0, state.chan_hist[1].T, mixed_halo_q)
+    prev_halo = lax.ppermute(jnp.stack([st_i[-1], st_q[-1]]), "time", perm)
+    prev = jnp.where(tidx == 0, state.demod_prev, prev_halo)
+    audio_halo = lax.ppermute(audio_tail, "time", perm)
+    audio_hist = jnp.where(tidx == 0, state.audio_hist.T, audio_halo)
+
+    # ---- main tail: identical to the single-chip time-major path
+    prec = (
+        lax.Precision.HIGHEST
+        if cfg.fir_precision == "highest"
+        else lax.Precision.HIGH
+    )
+    if use_pallas:
+        from ..ops.pallas_tail_tm import fused_tail_tm
+
+        audio_tm, _, _, _ = fused_tail_tm(
+            ci, cq, phase_here, params.residual_step,
+            params.chan_toep, params.mode, hist_i, hist_q, prev,
+        )
+    else:
+        mi, mq = mix_tm(ci, cq, phase_here, params.residual_step)
+        x2 = jnp.concatenate([mi, mq], axis=1)
+        y2, _ = ops.fir_decimate_toeplitz_tm(
+            x2, params.chan_toep, 1,
+            jnp.concatenate([hist_i, hist_q], axis=1), precision=prec,
+        )
+        audio_tm, _ = ops.demodulate_tm(
+            y2[:, :c_local], y2[:, c_local:], params.mode, prev
+        )
+    audio, _ = ops.fir_decimate_toeplitz_tm(
+        audio_tm, params.audio_toep, cfg.audio_decim, audio_hist,
+        precision=prec,
+    )
+    audio = audio.T  # [C_local, audio_frames_local]
+
+    # squelch gate from the local shard's selected-bin power (same note
+    # as the stage body: local-time-shard power, not whole-block)
+    power = jnp.mean(ci * ci + cq * cq, axis=0)
+    power_db = 10.0 * jnp.log10(jnp.maximum(power, 1e-30))
+    gate = jnp.logical_or(params.squelch >= 0.0, power_db >= params.squelch)
+    audio = audio * (params.af_gain * gate.astype(jnp.float32))[:, None]
+
+    # ---- next-block carries: the last shard's local tails
+    new_chan_hist = _from_last(
+        jnp.stack([mt_i[t_rows - (k - 1):].T, mt_q[t_rows - (k - 1):].T]),
+        tidx, t_shards,
+    )
+    new_demod_prev = _from_last(jnp.stack([st_i[-1], st_q[-1]]), tidx,
+                                t_shards)
+    new_audio_hist = _from_last(audio_tail.T, tidx, t_shards)
+
+    new_state = ChannelizedState(
+        pfb_hist=new_pfb_hist,
+        nco_phase=new_phase,
+        chan_hist=new_chan_hist,
+        demod_prev=new_demod_prev,
+        audio_hist=new_audio_hist,
+    )
+    return new_state, audio, spectra
+
+
+def _tm_uses_pallas(cfg: ChannelizedConfig, nd_local: int, c_local: int,
+                    params) -> bool:
+    """Per-shard twin of pipeline.channelized._use_pallas_tm."""
+    from ..pipeline.channelized import PALLAS_TM_AUTO_THRESHOLD
+
+    if cfg.tail_kernel == "xla":
+        return False
+    if cfg.tail_kernel == "auto" and c_local < PALLAS_TM_AUTO_THRESHOLD:
+        return False
+    from ..ops.pallas_tail_tm import CHAN_TILE, TIME_TILE
+
+    return (
+        params.chan_toep is not None
+        and nd_local % TIME_TILE == 0
+        and c_local % CHAN_TILE == 0
+        and TIME_TILE % params.chan_toep.shape[1] == 0
+    )
+
+
+def _tm_body_eligible(cfg: ChannelizedConfig, t_shards: int,
+                      params: ChannelizedParams) -> bool:
+    """Static check: can the time-major shard body run these shapes?"""
+    if params.chan_toep is None or params.audio_toep is None:
+        return False
+    nd_local = cfg.block_frames // t_shards // cfg.num_bins
+    if nd_local < 2 * cfg.fir_length - 1:
+        return False
+    return (
+        nd_local % params.chan_toep.shape[1] == 0
+        and (nd_local // cfg.audio_decim) % params.audio_toep.shape[1] == 0
+    )
+
+
 def sharded_channelized_step(cfg: ChannelizedConfig, mesh: Mesh):
     """Build the jitted sharded channelized step for a mesh.
 
@@ -154,7 +332,13 @@ def sharded_channelized_step(cfg: ChannelizedConfig, mesh: Mesh):
         audio_hist=P("chan", None),
     )
 
-    body = functools.partial(_shard_body, cfg, t_shards)
+    def body(params, state, iq_local):
+        # trace-time dispatch: chan_toep presence is pytree structure, so
+        # the right body is picked per compilation without retracing churn
+        if _tm_body_eligible(cfg, t_shards, params):
+            return _shard_body_tm(cfg, t_shards, c_shards, params, state,
+                                  iq_local)
+        return _shard_body(cfg, t_shards, params, state, iq_local)
     smapped = jax.shard_map(
         body,
         mesh=mesh,

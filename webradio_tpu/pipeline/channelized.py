@@ -72,8 +72,17 @@ class ChannelizedConfig:
     #: MXU work at ~90 dB SNR vs the direct form — ample for the audio
     #: chain, whose reference is float32 end-to-end anyway).
     fir_precision: str = "highest"
+    #: mix+shaping-FIR+demod implementation for the time-major path:
+    #: "xla" (unfused ops; XLA fuses), "pallas" (ops/pallas_tail_tm.py
+    #: fused VMEM kernel), or "auto" — pallas once the channel batch is
+    #: large enough that the kernel's single HBM round-trip beats XLA's
+    #: wide fusions (see PALLAS_TM_AUTO_THRESHOLD for measured numbers).
+    tail_kernel: str = "auto"
+    #: FIR design law (see ChainConfig.fir_design)
+    fir_design: str = "reference"
 
     _FIR_PRECISIONS = ("highest", "high")
+    _TAIL_KERNELS = ("auto", "xla", "pallas")
 
     def __post_init__(self):
         if self.sample_rate % self.channel_rate:
@@ -90,6 +99,12 @@ class ChannelizedConfig:
             raise ValueError(
                 f"fir_precision must be one of {self._FIR_PRECISIONS}"
             )
+        if self.tail_kernel not in self._TAIL_KERNELS:
+            raise ValueError(
+                f"tail_kernel must be one of {self._TAIL_KERNELS}"
+            )
+        if self.fir_design not in ("reference", "sinc"):
+            raise ValueError("fir_design must be 'reference' or 'sinc'")
 
     @property
     def num_bins(self) -> int:
@@ -174,11 +189,13 @@ def make_channelized_params(
         dtype=np.uint32,
     )
     chan = np.stack(
-        [design_lowpass_fir_cached(bw, cfg.channel_rate, cfg.fir_length)
+        [design_lowpass_fir_cached(bw, cfg.channel_rate, cfg.fir_length,
+                                   cfg.fir_design)
          for bw in ifbws]
     )
     audio = np.stack(
-        [design_lowpass_fir_cached(bw, cfg.channel_rate, cfg.fir_length)
+        [design_lowpass_fir_cached(bw, cfg.channel_rate, cfg.fir_length,
+                                   cfg.fir_design)
          for bw in afbws]
     )
     mode_idx = np.array(
@@ -213,6 +230,29 @@ def init_channelized_state(cfg: ChannelizedConfig) -> ChannelizedState:
         chan_hist=jnp.zeros((2, c, k - 1), jnp.float32),
         demod_prev=jnp.zeros((2, c), jnp.float32),
         audio_hist=jnp.zeros((c, k - 1), jnp.float32),
+    )
+
+
+#: channel count at which "auto" switches the time-major tail to the
+#: fused Pallas kernel. Measured full-step crossover on one v5e chip:
+#: XLA wins below C=1024, dead heat at 1024, the kernel wins 12% at 2048
+#: and 13% at 16384 (44.2 vs 50.0 ms/block)
+PALLAS_TM_AUTO_THRESHOLD = 2048
+
+
+def _use_pallas_tm(cfg: ChannelizedConfig, nd: int, params) -> bool:
+    """Whether the fused Pallas TM tail applies (and is worth it)."""
+    if cfg.tail_kernel == "xla":
+        return False
+    if cfg.tail_kernel == "auto" and cfg.num_channels < PALLAS_TM_AUTO_THRESHOLD:
+        return False
+    from ..ops.pallas_tail_tm import CHAN_TILE, TIME_TILE
+
+    return (
+        params.chan_toep is not None
+        and nd % TIME_TILE == 0
+        and cfg.num_channels % CHAN_TILE == 0
+        and TIME_TILE % params.chan_toep.shape[1] == 0
     )
 
 
@@ -254,24 +294,36 @@ def channelized_step(
         ci, cq, pfb_hist = pfb_channelize_direct_tm(
             iq, params.pfb_weights, cfg.num_bins, state.pfb_hist
         )  # [nd, C] planes
-        mix_tm = ops.nco_mix_tm_fast if cfg.fast_nco else ops.nco_mix_tm
-        mi, mq = mix_tm(ci, cq, state.nco_phase, params.residual_step)
-        # both planes through one banded matmul: stack on the lane axis
-        x2 = jnp.concatenate([mi, mq], axis=1)  # [nd, 2C]
-        hist_tm = jnp.concatenate(
-            [state.chan_hist[0].T, state.chan_hist[1].T], axis=1
-        )  # [K-1, 2C] (tiny transposes)
         prec = (
             jax.lax.Precision.HIGHEST
             if cfg.fir_precision == "highest"
             else jax.lax.Precision.HIGH
         )
-        y2, h2 = ops.fir_decimate_toeplitz_tm(
-            x2, params.chan_toep, 1, hist_tm, precision=prec
-        )
-        audio_tm, demod_prev = ops.demodulate_tm(
-            y2[:, :c], y2[:, c:], params.mode, state.demod_prev
-        )
+        if _use_pallas_tm(cfg, nd, params):
+            from ..ops.pallas_tail_tm import fused_tail_tm
+
+            audio_tm, hist_i, hist_q, demod_prev = fused_tail_tm(
+                ci, cq, state.nco_phase, params.residual_step,
+                params.chan_toep, params.mode,
+                state.chan_hist[0].T, state.chan_hist[1].T,
+                state.demod_prev,
+            )
+            chan_hist_new = jnp.stack([hist_i.T, hist_q.T])
+        else:
+            mix_tm = ops.nco_mix_tm_fast if cfg.fast_nco else ops.nco_mix_tm
+            mi, mq = mix_tm(ci, cq, state.nco_phase, params.residual_step)
+            # both planes through one banded matmul: stack on the lane axis
+            x2 = jnp.concatenate([mi, mq], axis=1)  # [nd, 2C]
+            hist_tm = jnp.concatenate(
+                [state.chan_hist[0].T, state.chan_hist[1].T], axis=1
+            )  # [K-1, 2C] (tiny transposes)
+            y2, h2 = ops.fir_decimate_toeplitz_tm(
+                x2, params.chan_toep, 1, hist_tm, precision=prec
+            )
+            audio_tm, demod_prev = ops.demodulate_tm(
+                y2[:, :c], y2[:, c:], params.mode, state.demod_prev
+            )
+            chan_hist_new = jnp.stack([h2[:, :c].T, h2[:, c:].T])
         audio, audio_hist_tm = ops.fir_decimate_toeplitz_tm(
             audio_tm, params.audio_toep, cfg.audio_decim, state.audio_hist.T,
             precision=prec,
@@ -286,7 +338,7 @@ def channelized_step(
         new_state = ChannelizedState(
             pfb_hist=pfb_hist,
             nco_phase=nco_phase,
-            chan_hist=jnp.stack([h2[:, :c].T, h2[:, c:].T]),
+            chan_hist=chan_hist_new,
             demod_prev=demod_prev,
             audio_hist=audio_hist_tm.T,
         )

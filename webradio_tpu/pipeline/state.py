@@ -39,8 +39,14 @@ class ChainConfig:
     fir_length: int = FIR_LENGTH
     fft_size: int = DEFAULT_FFT_SIZE
     use_overlap_save: bool = False
+    #: FIR design law: "reference" (lowpass.cxx:164-197, incl. the
+    #: integer-division cutoff quirk that silences passbands below
+    #: 2*fs/fir_length) or "sinc" (quirk-free windowed sinc)
+    fir_design: str = "reference"
 
     def __post_init__(self):
+        if self.fir_design not in ("reference", "sinc"):
+            raise ValueError("fir_design must be 'reference' or 'sinc'")
         if self.sample_rate % self.channel_rate:
             raise ValueError("sample_rate must be a multiple of channel_rate")
         if self.channel_rate % self.audio_rate:
@@ -143,13 +149,15 @@ def make_receiver_params(
     )
     chan = np.stack(
         [
-            design_lowpass_fir_cached(bw, cfg.sample_rate, cfg.fir_length)
+            design_lowpass_fir_cached(bw, cfg.sample_rate, cfg.fir_length,
+                                      cfg.fir_design)
             for bw in ifbws
         ]
     )
     audio = np.stack(
         [
-            design_lowpass_fir_cached(bw, cfg.channel_rate, cfg.fir_length)
+            design_lowpass_fir_cached(bw, cfg.channel_rate, cfg.fir_length,
+                                      cfg.fir_design)
             for bw in afbws
         ]
     )

@@ -138,14 +138,18 @@ class FrontEnd:
     """
 
     def __init__(self, tuner: Tuner, cfg: ChainConfig | None = None,
-                 capacity: int = 4, engine: str = "auto"):
+                 capacity: int = 4, engine: str = "auto",
+                 fir_precision: str = "highest"):
         """``engine``: "direct" (per-channel NCO+FIR, the reference
         topology), "channelized" (shared polyphase filterbank — the
         scalable path), or "auto" (channelized at capacity >=
-        CHANNELIZED_AUTO_THRESHOLD)."""
+        CHANNELIZED_AUTO_THRESHOLD). ``fir_precision``: MXU pass count
+        for the channelized engine's FIRs ("highest" = float32-identical
+        to the direct form; "high" = bf16x3, ~100 dB SNR, faster)."""
         self.uuid = _next_uuid("frontend")
         self.tuner = tuner
         self.engine = engine
+        self.fir_precision = fir_precision
         base = cfg or ChainConfig()
         self.cfg = ChainConfig(**{**base.__dict__, "num_channels": capacity})
         self._slots: list[Receiver | None] = [None] * capacity
@@ -225,6 +229,8 @@ class FrontEnd:
                 block_frames=self.cfg.block_frames,
                 num_channels=self.cfg.num_channels,
                 fft_size=self.cfg.fft_size,
+                fir_precision=self.fir_precision,
+                fir_design=self.cfg.fir_design,
             )
             params = make_channelized_params(ccfg, ifs, ifbw, afbw, modes,
                                              gains, squelches)
