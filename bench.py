@@ -101,7 +101,7 @@ def worker(out_path: str) -> None:
     def ifs(c):
         return [int((i - c // 2) * 2_000) for i in range(c)]
 
-    for c in (1024, 4096, 8192, 16384):
+    for c in (1024, 4096, 16384, 32768):
         cfg = ChannelizedConfig(num_channels=c)
         try:
             params = make_channelized_params(cfg, ifs(c), 80_000, 8_000, "FM")

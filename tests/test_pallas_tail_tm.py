@@ -44,3 +44,49 @@ def test_matches_unfused_chain(rng):
                                atol=0)
     np.testing.assert_allclose(np.asarray(nprev), np.asarray(ref_prev),
                                atol=1e-6)
+
+
+def test_audio_fused_matches_unfused_chain(rng):
+    """fused_tail_audio_tm == fused_tail_tm + fir_decimate_toeplitz_tm,
+    including the audio-domain history carry across blocks."""
+    from webradio_tpu.ops.pallas_tail_tm import fused_tail_audio_tm
+
+    nd, c, k, d = 2560, CHAN_TILE, 64, 5
+    p0 = jnp.asarray(rng.integers(0, 2**31, c).astype(np.uint32))
+    st = jnp.asarray(rng.integers(0, 2**31, c).astype(np.uint32))
+    mode = jnp.asarray((np.arange(c) % 4).astype(np.int32))
+    coeff = np.asarray(ops.design_lowpass_fir(600_000, 2_400_000))
+    w = jnp.asarray(ops.toeplitz_weights(coeff, 1, 128))
+    acoeff = np.asarray(ops.design_lowpass_fir(8_000, 240_000))
+    wa = jnp.asarray(ops.toeplitz_weights(acoeff, d, 32))
+
+    hi = jnp.asarray(rng.standard_normal((k - 1, c)).astype(np.float32))
+    hq = jnp.asarray(rng.standard_normal((k - 1, c)).astype(np.float32))
+    prev = jnp.asarray(rng.standard_normal((2, c)).astype(np.float32))
+    ahist = jnp.asarray(rng.standard_normal((k - 1, c)).astype(np.float32))
+
+    f_hi, f_hq, f_prev, f_ahist = hi, hq, prev, ahist
+    r_hi, r_hq, r_prev, r_ahist = hi, hq, prev, ahist.copy()
+    for _ in range(2):  # two blocks: carries cross the boundary
+        ci = jnp.asarray(rng.standard_normal((nd, c)).astype(np.float32))
+        cq = jnp.asarray(rng.standard_normal((nd, c)).astype(np.float32))
+
+        mi, mq = ops.nco_mix_tm(ci, cq, p0, st)
+        x2 = jnp.concatenate([mi, mq], axis=1)
+        y2, nh2 = ops.fir_decimate_toeplitz_tm(
+            x2, w, 1, jnp.concatenate([r_hi, r_hq], axis=1))
+        r_hi, r_hq = nh2[:, :c], nh2[:, c:]
+        a_ref, r_prev = ops.demodulate_tm(y2[:, :c], y2[:, c:], mode, r_prev)
+        a48_ref, r_ahist = ops.fir_decimate_toeplitz_tm(a_ref, wa, d, r_ahist)
+
+        a48, f_hi, f_hq, f_prev, f_ahist = fused_tail_audio_tm(
+            ci, cq, p0, st, w, wa, d, mode, f_hi, f_hq, f_prev, f_ahist)
+
+        np.testing.assert_allclose(np.asarray(a48), np.asarray(a48_ref),
+                                   atol=3e-6)
+        np.testing.assert_allclose(np.asarray(f_ahist), np.asarray(r_ahist),
+                                   atol=3e-6)
+        np.testing.assert_allclose(np.asarray(f_hi), np.asarray(r_hi), atol=0)
+        np.testing.assert_allclose(np.asarray(f_hq), np.asarray(r_hq), atol=0)
+        np.testing.assert_allclose(np.asarray(f_prev), np.asarray(r_prev),
+                                   atol=1e-6)

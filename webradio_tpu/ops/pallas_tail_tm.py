@@ -261,3 +261,256 @@ def fused_tail_tm(
         w_toep,
     )
     return audio, histi, histq, nprev
+
+
+# ---------------------------------------------------------------------------
+# audio-FIR-fused variant: mix + shaping FIR + demod + decimating audio FIR
+# ---------------------------------------------------------------------------
+
+def _kernel_audio(k_taps, fir_tile, d, tg, nd,
+                  exti_hbm, extq_hbm, phase0_ref, step_ref, mode_ref,
+                  prev_ref, w_ref, wa_ref, ahist0_ref,
+                  audio_ref, nprev_ref, histi_ref, histq_ref, ahist_ref,
+                  slab_i, slab_q, lag_ref, atail_ref, sems):
+    """One (chan, time) program: the :func:`_kernel` chain plus the
+    decimating audio FIR, so the channel-rate audio plane never touches
+    HBM. The audio-domain cross-tile carry (last K rows of each tile's
+    audio) rides the ``atail_ref`` VMEM scratch, sequential over the
+    innermost time grid exactly like the FM ``lag_ref``."""
+    k = k_taps
+    t = fir_tile
+    ti = pl.program_id(1)
+    n_ti = pl.num_programs(1)
+    ci = pl.program_id(0)
+    rows = tg + k
+
+    row0 = ti * tg
+    col0 = ci * CHAN_TILE
+    cp_i = pltpu.make_async_copy(
+        exti_hbm.at[pl.ds(row0, rows), pl.ds(col0, CHAN_TILE)],
+        slab_i, sems.at[0],
+    )
+    cp_q = pltpu.make_async_copy(
+        extq_hbm.at[pl.ds(row0, rows), pl.ds(col0, CHAN_TILE)],
+        slab_q, sems.at[1],
+    )
+    cp_i.start()
+    cp_q.start()
+    cp_i.wait()
+    cp_q.wait()
+
+    # ---- residual NCO mix (quantized-phase semantics, as _kernel) -------
+    r = jax.lax.broadcasted_iota(jnp.int32, (rows, CHAN_TILE), 0)
+    n = (row0 + r - (k - 1)).astype(jnp.uint32)
+    phase0 = phase0_ref[0, :]
+    step = step_ref[0, :]
+    phases = (phase0[None, :] + n * step[None, :]) & jnp.uint32(PHASE_MASK)
+    sinidx = phases >> LOOKUP_SHIFT
+    cosidx = (sinidx + jnp.uint32((1 << LOOKUP_BITS) // 4)) & jnp.uint32(
+        LOOKUP_MASK
+    )
+    s = jnp.sin(sinidx.astype(jnp.int32).astype(jnp.float32) * _ANGLE_SCALE)
+    c = jnp.sin(cosidx.astype(jnp.int32).astype(jnp.float32) * _ANGLE_SCALE)
+    xi = slab_i[:]
+    xq = slab_q[:]
+    is_hist = (row0 + r) < (k - 1)
+    mi = jnp.where(is_hist, xi, xi * c + xq * s)
+    mq = jnp.where(is_hist, xq, xq * c - xi * s)
+
+    # ---- shaping FIR ----------------------------------------------------
+    span = t + k - 1
+    wt = w_ref[:].T  # [T, span]
+    outs_i, outs_q = [], []
+    for j in range(tg // t):
+        seg_i = lax.slice_in_dim(mi, j * t, j * t + span, axis=0)
+        seg_q = lax.slice_in_dim(mq, j * t, j * t + span, axis=0)
+        outs_i.append(jnp.dot(wt, seg_i, preferred_element_type=jnp.float32,
+                              precision=lax.Precision.HIGHEST))
+        outs_q.append(jnp.dot(wt, seg_q, preferred_element_type=jnp.float32,
+                              precision=lax.Precision.HIGHEST))
+    yi = jnp.concatenate(outs_i, axis=0)  # [tg, C_tile]
+    yq = jnp.concatenate(outs_q, axis=0)
+
+    # ---- demod -----------------------------------------------------------
+    @pl.when(ti == 0)
+    def _():
+        lag_ref[:] = prev_ref[:]
+        atail_ref[1:, :] = ahist0_ref[:]  # block-carried audio history
+
+    lag_i = jnp.concatenate([lag_ref[0:1, :], yi[:-1, :]], axis=0)
+    lag_q = jnp.concatenate([lag_ref[1:2, :], yq[:-1, :]], axis=0)
+
+    am = jnp.sqrt(yi * yi + yq * yq)
+    ii = yi * lag_i + yq * lag_q
+    qq = yq * lag_i - yi * lag_q
+    fm = atan2(ii, qq) * _INV_2PI
+    usb = yi + yq
+    lsb = yi - yq
+    mode = mode_ref[0, :]
+    audio = jnp.where(
+        mode[None, :] == MODE_AM, am,
+        jnp.where(mode[None, :] == MODE_FM, fm,
+                  jnp.where(mode[None, :] == MODE_USB, usb, lsb)),
+    )
+    lag_ref[0, :] = yi[tg - 1, :]
+    lag_ref[1, :] = yq[tg - 1, :]
+
+    # ---- decimating audio FIR: one banded matmul per tile ---------------
+    # ext_a[0] is audio-domain row row0-(K-1); output m of this tile reads
+    # ext_a rows m*d .. m*d+K-1 (the fir_decimate_toeplitz_tm contract)
+    t_a = tg // d
+    span_a = (t_a - 1) * d + k
+    ext_a = jnp.concatenate([atail_ref[1:, :], audio], axis=0)[:span_a]
+    audio_ref[:] = jnp.dot(wa_ref[:].T, ext_a,
+                           preferred_element_type=jnp.float32,
+                           precision=lax.Precision.HIGHEST)  # [T_a, C_tile]
+    atail_ref[:] = audio[tg - k:, :]  # last K audio rows (row 0 unused)
+
+    # ---- carries out on the last time tile ------------------------------
+    @pl.when(ti == n_ti - 1)
+    def _():
+        nprev_ref[0, :] = yi[tg - 1, :]
+        nprev_ref[1, :] = yq[tg - 1, :]
+        histi_ref[:] = mi[tg : tg + k - 1, :]
+        histq_ref[:] = mq[tg : tg + k - 1, :]
+        ahist_ref[:] = audio[tg - (k - 1):, :]
+
+
+def _audio_time_tile(nd: int, d: int, fir_tile: int) -> int:
+    """Largest time-tile <= 2048 that divides nd and is a multiple of both
+    the shaping-FIR tile and the audio decimation; 0 if none exists."""
+    import math
+
+    base = fir_tile * d // math.gcd(fir_tile, d)
+    best = 0
+    m = base
+    while m <= 2048:
+        if nd % m == 0:
+            best = m
+        m += base
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("decimation", "interpret"))
+def fused_tail_audio_tm(
+    ci_planes: jax.Array,
+    cq_planes: jax.Array,
+    phase0: jax.Array,
+    phase_step: jax.Array,
+    w_toep: jax.Array,
+    audio_toep: jax.Array,
+    decimation: int,
+    mode: jax.Array,
+    chan_hist_i: jax.Array,
+    chan_hist_q: jax.Array,
+    demod_prev: jax.Array,
+    audio_hist: jax.Array,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """:func:`fused_tail_tm` extended through the decimating audio FIR.
+
+    The channel-rate audio plane ([nd, C], the largest intermediate of
+    the whole receiver tail) stays in VMEM: each time tile demodulates
+    and immediately folds its audio rows through the banded audio-FIR
+    matmul, carrying the K-1-row audio history across tiles in scratch.
+    Saves a full write+read of that plane per block vs running
+    ``fir_decimate_toeplitz_tm`` after :func:`fused_tail_tm`.
+
+    Extra args vs :func:`fused_tail_tm`:
+      audio_toep: ``[span, T]`` banded audio weights (any eligible tile —
+        only its first column, the reversed kernel, is used; the kernel
+        builds tile-matched weights internally).
+      decimation: channel-rate -> audio-rate ratio.
+      audio_hist: ``[K-1, C]`` audio-domain history carry.
+
+    Returns ``(audio48 [nd // decimation, C], new_hist_i, new_hist_q,
+    new_demod_prev, new_audio_hist)``.
+    """
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    nd, c = ci_planes.shape
+    d = int(decimation)
+    span, t = w_toep.shape
+    k = span - t + 1
+    if c % CHAN_TILE:
+        raise ValueError(f"channels {c} must be a multiple of {CHAN_TILE}")
+    if chan_hist_i.shape[0] != k - 1 or audio_hist.shape[0] != k - 1:
+        raise ValueError("history length does not match the kernel")
+    tg = _audio_time_tile(nd, d, t)
+    if tg == 0:
+        raise ValueError(
+            f"no time tile divides nd={nd} for tile={t}, decim={d}"
+        )
+    t_a = tg // d
+    span_a = (t_a - 1) * d + k
+
+    # tile-matched audio weights from the shared reversed kernel (column 0
+    # of any banded audio weight matrix)
+    rev = audio_toep[:k, 0]
+    wa = jnp.stack(
+        [jnp.pad(rev, (m * d, span_a - m * d - k)) for m in range(t_a)],
+        axis=1,
+    )  # [span_a, T_a]
+
+    pad = jnp.zeros((1, c), jnp.float32)
+    exti = jnp.concatenate([chan_hist_i, ci_planes, pad], axis=0)
+    extq = jnp.concatenate([chan_hist_q, cq_planes, pad], axis=0)
+
+    grid = (c // CHAN_TILE, nd // tg)
+    chan_cols = lambda i, j: (0, i)
+
+    audio48, nprev, histi, histq, ahist = pl.pallas_call(
+        functools.partial(_kernel_audio, k, t, d, tg, nd),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # exti (manual DMA)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # extq
+            pl.BlockSpec((1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # phase0
+            pl.BlockSpec((1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # step
+            pl.BlockSpec((1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # mode
+            pl.BlockSpec((2, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # demod_prev
+            pl.BlockSpec((span, t), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),  # shaping weights
+            pl.BlockSpec((span_a, t_a), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),  # audio weights
+            pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # audio history carry
+        ],
+        out_specs=(
+            pl.BlockSpec((t_a, CHAN_TILE), lambda i, j: (j, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nd // d, c), jnp.float32),
+            jax.ShapeDtypeStruct((2, c), jnp.float32),
+            jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tg + k, CHAN_TILE), jnp.float32),
+            pltpu.VMEM((tg + k, CHAN_TILE), jnp.float32),
+            pltpu.VMEM((2, CHAN_TILE), jnp.float32),
+            pltpu.VMEM((k, CHAN_TILE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(
+        exti, extq,
+        phase0[None, :], phase_step[None, :],
+        mode.astype(jnp.int32)[None, :], demod_prev,
+        w_toep, wa, audio_hist,
+    )
+    return audio48, histi, histq, nprev, ahist

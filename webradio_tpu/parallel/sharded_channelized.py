@@ -212,13 +212,26 @@ def _shard_body_tm(cfg: ChannelizedConfig, t_shards: int, c_shards: int,
         if cfg.fir_precision == "highest"
         else lax.Precision.HIGH
     )
+    audio = None
     if use_pallas:
-        from ..ops.pallas_tail_tm import fused_tail_tm
-
-        audio_tm, _, _, _ = fused_tail_tm(
-            ci, cq, phase_here, params.residual_step,
-            params.chan_toep, params.mode, hist_i, hist_q, prev,
+        from ..ops.pallas_tail_tm import (
+            _audio_time_tile,
+            fused_tail_audio_tm,
+            fused_tail_tm,
         )
+
+        fir_tile = params.chan_toep.shape[1]
+        if _audio_time_tile(nd_local, cfg.audio_decim, fir_tile):
+            audio, _, _, _, _ = fused_tail_audio_tm(
+                ci, cq, phase_here, params.residual_step,
+                params.chan_toep, params.audio_toep, cfg.audio_decim,
+                params.mode, hist_i, hist_q, prev, audio_hist,
+            )
+        else:
+            audio_tm, _, _, _ = fused_tail_tm(
+                ci, cq, phase_here, params.residual_step,
+                params.chan_toep, params.mode, hist_i, hist_q, prev,
+            )
     else:
         mi, mq = mix_tm(ci, cq, phase_here, params.residual_step)
         x2 = jnp.concatenate([mi, mq], axis=1)
@@ -229,10 +242,11 @@ def _shard_body_tm(cfg: ChannelizedConfig, t_shards: int, c_shards: int,
         audio_tm, _ = ops.demodulate_tm(
             y2[:, :c_local], y2[:, c_local:], params.mode, prev
         )
-    audio, _ = ops.fir_decimate_toeplitz_tm(
-        audio_tm, params.audio_toep, cfg.audio_decim, audio_hist,
-        precision=prec,
-    )
+    if audio is None:
+        audio, _ = ops.fir_decimate_toeplitz_tm(
+            audio_tm, params.audio_toep, cfg.audio_decim, audio_hist,
+            precision=prec,
+        )
     audio = audio.T  # [C_local, audio_frames_local]
 
     # squelch gate from the local shard's selected-bin power (same note

@@ -299,15 +299,35 @@ def channelized_step(
             if cfg.fir_precision == "highest"
             else jax.lax.Precision.HIGH
         )
+        audio = None
         if _use_pallas_tm(cfg, nd, params):
-            from ..ops.pallas_tail_tm import fused_tail_tm
-
-            audio_tm, hist_i, hist_q, demod_prev = fused_tail_tm(
-                ci, cq, state.nco_phase, params.residual_step,
-                params.chan_toep, params.mode,
-                state.chan_hist[0].T, state.chan_hist[1].T,
-                state.demod_prev,
+            from ..ops.pallas_tail_tm import (
+                _audio_time_tile,
+                fused_tail_audio_tm,
+                fused_tail_tm,
             )
+
+            fir_tile = params.chan_toep.shape[1]
+            if _audio_time_tile(nd, cfg.audio_decim, fir_tile):
+                # fully fused: the channel-rate audio plane never leaves
+                # VMEM; the kernel emits 48 kHz audio + all carries
+                audio_tm48, hist_i, hist_q, demod_prev, ahist = (
+                    fused_tail_audio_tm(
+                        ci, cq, state.nco_phase, params.residual_step,
+                        params.chan_toep, params.audio_toep,
+                        cfg.audio_decim, params.mode,
+                        state.chan_hist[0].T, state.chan_hist[1].T,
+                        state.demod_prev, state.audio_hist.T,
+                    )
+                )
+                audio, audio_hist_tm = audio_tm48, ahist
+            else:
+                audio_tm, hist_i, hist_q, demod_prev = fused_tail_tm(
+                    ci, cq, state.nco_phase, params.residual_step,
+                    params.chan_toep, params.mode,
+                    state.chan_hist[0].T, state.chan_hist[1].T,
+                    state.demod_prev,
+                )
             chan_hist_new = jnp.stack([hist_i.T, hist_q.T])
         else:
             mix_tm = ops.nco_mix_tm_fast if cfg.fast_nco else ops.nco_mix_tm
@@ -324,10 +344,11 @@ def channelized_step(
                 y2[:, :c], y2[:, c:], params.mode, state.demod_prev
             )
             chan_hist_new = jnp.stack([h2[:, :c].T, h2[:, c:].T])
-        audio, audio_hist_tm = ops.fir_decimate_toeplitz_tm(
-            audio_tm, params.audio_toep, cfg.audio_decim, state.audio_hist.T,
-            precision=prec,
-        )
+        if audio is None:
+            audio, audio_hist_tm = ops.fir_decimate_toeplitz_tm(
+                audio_tm, params.audio_toep, cfg.audio_decim,
+                state.audio_hist.T, precision=prec,
+            )
         audio = audio.T  # [C, audio_frames] — the host layout
         # squelch gate power from the pre-mix selected bins (same signal
         # the [2, C, nd] path uses)
