@@ -61,8 +61,57 @@ _INV_2PI = np.float32(1.0 / (2.0 * np.pi))
 CHAN_TILE = 128  # lanes
 TIME_TILE = 1024  # sublanes per program (multiple of the FIR tile T)
 
+_FULL_ANGLE_SCALE = np.float32(2.0 * np.pi / (1 << 31))
 
-def _kernel(k_taps, fir_tile, nd,
+
+def _lo_sincos(rows, row0, k, phase0, step, fast):
+    """LO sin/cos for slab rows ``0..rows-1`` (sample ``row0 + r - (K-1)``).
+
+    ``fast=False``: the reference's 16-bit quantized-table semantics
+    (downconverter.cxx:35-52), one sin per sample. ``fast=True``: the
+    factored-phasor law of ops.nco.nco_mix_tm_fast — coarse/fine integer
+    phase split at B=128 rows, ~``rows/64`` transcendentals instead of
+    ``2*rows``, full 31-bit (unquantized) angle.
+    """
+    if not fast:
+        r = jax.lax.broadcasted_iota(jnp.int32, (rows, CHAN_TILE), 0)
+        n = (row0 + r - (k - 1)).astype(jnp.uint32)
+        phases = (phase0[None, :] + n * step[None, :]) & jnp.uint32(PHASE_MASK)
+        sinidx = phases >> LOOKUP_SHIFT
+        cosidx = (sinidx + jnp.uint32((1 << LOOKUP_BITS) // 4)) & jnp.uint32(
+            LOOKUP_MASK
+        )
+        s = jnp.sin(sinidx.astype(jnp.int32).astype(jnp.float32) * _ANGLE_SCALE)
+        c = jnp.sin(cosidx.astype(jnp.int32).astype(jnp.float32) * _ANGLE_SCALE)
+        return s, c
+    b = CHAN_TILE  # 128-row fine period: aligned, and ~sqrt(rows) sized
+    a = -(-rows // b)
+    base = (
+        phase0[None, :]
+        + (row0 - (k - 1)).astype(jnp.uint32) * step[None, :]
+    )  # [1, C]
+    aidx = jax.lax.broadcasted_iota(jnp.int32, (a, CHAN_TILE), 0).astype(
+        jnp.uint32
+    )
+    bidx = jax.lax.broadcasted_iota(jnp.int32, (b, CHAN_TILE), 0).astype(
+        jnp.uint32
+    )
+    pmask = jnp.uint32(PHASE_MASK)
+    coarse = (base + aidx * (step[None, :] * jnp.uint32(b))) & pmask
+    fine = (bidx * step[None, :]) & pmask
+    tc = coarse.astype(jnp.float32) * _FULL_ANGLE_SCALE  # [A, C]
+    tf = fine.astype(jnp.float32) * _FULL_ANGLE_SCALE  # [B, C]
+    sc, cc = jnp.sin(tc), jnp.cos(tc)
+    sf, cf = jnp.sin(tf), jnp.cos(tf)
+    c3 = cc[:, None, :] * cf[None, :, :] - sc[:, None, :] * sf[None, :, :]
+    s3 = sc[:, None, :] * cf[None, :, :] + cc[:, None, :] * sf[None, :, :]
+    return (
+        s3.reshape(a * b, CHAN_TILE)[:rows],
+        c3.reshape(a * b, CHAN_TILE)[:rows],
+    )
+
+
+def _kernel(k_taps, fir_tile, nd, prec,
             exti_hbm, extq_hbm, phase0_ref, step_ref, mode_ref, prev_ref,
             w_ref,
             audio_ref, nprev_ref, histi_ref, histq_ref,
@@ -124,9 +173,9 @@ def _kernel(k_taps, fir_tile, nd,
         seg_i = lax.slice_in_dim(mi, j * t, j * t + span, axis=0)
         seg_q = lax.slice_in_dim(mq, j * t, j * t + span, axis=0)
         outs_i.append(jnp.dot(wt, seg_i, preferred_element_type=jnp.float32,
-                              precision=lax.Precision.HIGHEST))
+                              precision=prec))
         outs_q.append(jnp.dot(wt, seg_q, preferred_element_type=jnp.float32,
-                              precision=lax.Precision.HIGHEST))
+                              precision=prec))
     yi = jnp.concatenate(outs_i, axis=0)  # [tg, C_tile]
     yq = jnp.concatenate(outs_q, axis=0)
 
@@ -163,7 +212,7 @@ def _kernel(k_taps, fir_tile, nd,
         histq_ref[:] = mq[tg : tg + k - 1, :]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
 def fused_tail_tm(
     ci_planes: jax.Array,
     cq_planes: jax.Array,
@@ -175,6 +224,7 @@ def fused_tail_tm(
     chan_hist_q: jax.Array,
     demod_prev: jax.Array,
     interpret: bool = False,
+    precision: lax.Precision = lax.Precision.HIGHEST,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused mix+FIR+demod over time-major planes.
 
@@ -195,6 +245,10 @@ def fused_tail_tm(
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
+    # Mosaic lowers only DEFAULT and HIGHEST dot precisions; clamp the
+    # intermediate tier up (the kernel is bandwidth-bound anyway)
+    if precision == lax.Precision.HIGH:
+        precision = lax.Precision.HIGHEST
     nd, c = ci_planes.shape
     span, t = w_toep.shape
     k = span - t + 1
@@ -215,7 +269,7 @@ def fused_tail_tm(
     chan_cols = lambda i, j: (0, i)
 
     audio, nprev, histi, histq = pl.pallas_call(
-        functools.partial(_kernel, k, t, nd),
+        functools.partial(_kernel, k, t, nd, precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # exti (manual DMA)
@@ -267,7 +321,7 @@ def fused_tail_tm(
 # audio-FIR-fused variant: mix + shaping FIR + demod + decimating audio FIR
 # ---------------------------------------------------------------------------
 
-def _kernel_audio(k_taps, fir_tile, d, tg, nd,
+def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec,
                   exti_hbm, extq_hbm, phase0_ref, step_ref, mode_ref,
                   prev_ref, w_ref, wa_ref, ahist0_ref,
                   audio_ref, nprev_ref, histi_ref, histq_ref, ahist_ref,
@@ -325,9 +379,9 @@ def _kernel_audio(k_taps, fir_tile, d, tg, nd,
         seg_i = lax.slice_in_dim(mi, j * t, j * t + span, axis=0)
         seg_q = lax.slice_in_dim(mq, j * t, j * t + span, axis=0)
         outs_i.append(jnp.dot(wt, seg_i, preferred_element_type=jnp.float32,
-                              precision=lax.Precision.HIGHEST))
+                              precision=prec))
         outs_q.append(jnp.dot(wt, seg_q, preferred_element_type=jnp.float32,
-                              precision=lax.Precision.HIGHEST))
+                              precision=prec))
     yi = jnp.concatenate(outs_i, axis=0)  # [tg, C_tile]
     yq = jnp.concatenate(outs_q, axis=0)
 
@@ -363,7 +417,7 @@ def _kernel_audio(k_taps, fir_tile, d, tg, nd,
     ext_a = jnp.concatenate([atail_ref[1:, :], audio], axis=0)[:span_a]
     audio_ref[:] = jnp.dot(wa_ref[:].T, ext_a,
                            preferred_element_type=jnp.float32,
-                           precision=lax.Precision.HIGHEST)  # [T_a, C_tile]
+                           precision=prec)  # [T_a, C_tile]
     atail_ref[:] = audio[tg - k:, :]  # last K audio rows (row 0 unused)
 
     # ---- carries out on the last time tile ------------------------------
@@ -391,7 +445,7 @@ def _audio_time_tile(nd: int, d: int, fir_tile: int) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("decimation", "interpret"))
+@functools.partial(jax.jit, static_argnames=("decimation", "interpret", "precision"))
 def fused_tail_audio_tm(
     ci_planes: jax.Array,
     cq_planes: jax.Array,
@@ -406,6 +460,7 @@ def fused_tail_audio_tm(
     demod_prev: jax.Array,
     audio_hist: jax.Array,
     interpret: bool = False,
+    precision: lax.Precision = lax.Precision.HIGHEST,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """:func:`fused_tail_tm` extended through the decimating audio FIR.
 
@@ -428,6 +483,10 @@ def fused_tail_audio_tm(
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
+    # Mosaic lowers only DEFAULT and HIGHEST dot precisions; clamp the
+    # intermediate tier up (the kernel is bandwidth-bound anyway)
+    if precision == lax.Precision.HIGH:
+        precision = lax.Precision.HIGHEST
     nd, c = ci_planes.shape
     d = int(decimation)
     span, t = w_toep.shape
@@ -460,7 +519,7 @@ def fused_tail_audio_tm(
     chan_cols = lambda i, j: (0, i)
 
     audio48, nprev, histi, histq, ahist = pl.pallas_call(
-        functools.partial(_kernel_audio, k, t, d, tg, nd),
+        functools.partial(_kernel_audio, k, t, d, tg, nd, precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # exti (manual DMA)

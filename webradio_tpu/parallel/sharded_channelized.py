@@ -226,11 +226,13 @@ def _shard_body_tm(cfg: ChannelizedConfig, t_shards: int, c_shards: int,
                 ci, cq, phase_here, params.residual_step,
                 params.chan_toep, params.audio_toep, cfg.audio_decim,
                 params.mode, hist_i, hist_q, prev, audio_hist,
+                precision=prec,
             )
         else:
             audio_tm, _, _, _ = fused_tail_tm(
                 ci, cq, phase_here, params.residual_step,
                 params.chan_toep, params.mode, hist_i, hist_q, prev,
+                precision=prec,
             )
     else:
         mi, mq = mix_tm(ci, cq, phase_here, params.residual_step)

@@ -318,6 +318,7 @@ def channelized_step(
                         cfg.audio_decim, params.mode,
                         state.chan_hist[0].T, state.chan_hist[1].T,
                         state.demod_prev, state.audio_hist.T,
+                        precision=prec,
                     )
                 )
                 audio, audio_hist_tm = audio_tm48, ahist
@@ -326,7 +327,7 @@ def channelized_step(
                     ci, cq, state.nco_phase, params.residual_step,
                     params.chan_toep, params.mode,
                     state.chan_hist[0].T, state.chan_hist[1].T,
-                    state.demod_prev,
+                    state.demod_prev, precision=prec,
                 )
             chan_hist_new = jnp.stack([hist_i.T, hist_q.T])
         else:
