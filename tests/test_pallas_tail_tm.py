@@ -35,6 +35,13 @@ def test_matches_unfused_chain(rng):
     audio, nhi, nhq, nprev = fused_tail_tm(
         ci, cq, p0, st, w, mode, hi, hq, prev)
 
+    # packed mode addresses the [nd, 2C] product in place — bit-identical
+    y2in = jnp.concatenate([ci, cq], axis=1)
+    p_audio, p_nhi, p_nhq, p_nprev = fused_tail_tm(
+        y2in, y2in, p0, st, w, mode, hi, hq, prev, packed=True)
+    np.testing.assert_array_equal(np.asarray(p_audio), np.asarray(audio))
+    np.testing.assert_array_equal(np.asarray(p_nhi), np.asarray(nhi))
+
     np.testing.assert_allclose(np.asarray(audio), np.asarray(ref_audio),
                                atol=3e-6)
     # history carries are bit-identical (pure pass-through of mixed rows)
@@ -79,11 +86,15 @@ def test_audio_fused_matches_unfused_chain(rng):
         a_ref, r_prev = ops.demodulate_tm(y2[:, :c], y2[:, c:], mode, r_prev)
         a48_ref, r_ahist = ops.fir_decimate_toeplitz_tm(a_ref, wa, d, r_ahist)
 
-        a48, f_hi, f_hq, f_prev, f_ahist = fused_tail_audio_tm(
+        a48, f_hi, f_hq, f_prev, f_ahist, power = fused_tail_audio_tm(
             ci, cq, p0, st, w, wa, d, mode, f_hi, f_hq, f_prev, f_ahist)
 
         np.testing.assert_allclose(np.asarray(a48), np.asarray(a48_ref),
                                    atol=3e-6)
+        # in-kernel squelch power == the step's pre-mix plane mean
+        np.testing.assert_allclose(
+            np.asarray(power),
+            np.asarray(jnp.mean(ci * ci + cq * cq, axis=0)), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(f_ahist), np.asarray(r_ahist),
                                    atol=3e-6)
         np.testing.assert_allclose(np.asarray(f_hi), np.asarray(r_hi), atol=0)

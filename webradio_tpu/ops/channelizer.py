@@ -257,12 +257,13 @@ def pfb_channelize_direct(
     return out, new_history
 
 
-@functools.partial(jax.jit, static_argnames=("decimation",))
+@functools.partial(jax.jit, static_argnames=("decimation", "split"))
 def pfb_channelize_direct_tm(
     x: jax.Array,
     weights: jax.Array,
     decimation: int,
     history: jax.Array,
+    split: bool = True,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Time-major variant of :func:`pfb_channelize_direct`:
     ``[2, N] -> (i [nd, C], q [nd, C], new_history)``.
@@ -273,6 +274,12 @@ def pfb_channelize_direct_tm(
     :func:`webradio_tpu.ops.fir.fir_decimate_toeplitz_tm`,
     :func:`webradio_tpu.ops.demod.demodulate_tm`) consumes; the I/Q split
     is two lane-tile-aligned slices of the ``[nd, 2C]`` product.
+
+    With ``split=False`` the packed ``[nd, 2C]`` product is returned
+    unsliced as ``(y2, y2, new_history)`` — consumers that can address
+    column tiles directly (the fused Pallas tail's BlockSpecs) avoid the
+    two dense column-slice copies XLA must otherwise materialize before a
+    custom call (a full write+read of the planes per block at large C).
     """
     d = int(decimation)
     kp = weights.shape[0] // 2
@@ -307,6 +314,8 @@ def pfb_channelize_direct_tm(
     )  # [nd, 2C]: columns [:C] = mixed I, [C:] = mixed Q
 
     new_history = x[..., n - (kp - 1):]
+    if not split:
+        return y, y, new_history
     return y[:, :c], y[:, c:], new_history
 
 

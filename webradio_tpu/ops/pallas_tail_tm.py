@@ -34,10 +34,12 @@ interchangeable between the two.
 Layout: time on sublanes (major), channels on lanes, grid
 ``(chan_tiles, time_tiles)`` with time innermost — the FM discriminator's
 one-sample lag crosses time tiles through a VMEM scratch carry (TPU grids
-execute sequentially, so scratch persists across grid steps).
-Overlapping input windows (K-1 rows of left halo) cannot be expressed as
-a BlockSpec, so the extended planes stay in ANY/HBM memory and each
-program DMAs its own slab.
+execute sequentially, so scratch persists across grid steps). The K-1-row
+mixed left halo each tile needs rides the same kind of scratch carry, so
+the inputs are plain pipelined BlockSpec tiles of the raw planes — no
+extended-plane materialization in HBM (an earlier manual-DMA design
+concatenated history onto the planes, paying a full write+read of the
+[nd, C] planes per block) and no blocking per-program DMA.
 """
 
 from __future__ import annotations
@@ -112,41 +114,24 @@ def _lo_sincos(rows, row0, k, phase0, step, fast):
 
 
 def _kernel(k_taps, fir_tile, nd, prec,
-            exti_hbm, extq_hbm, phase0_ref, step_ref, mode_ref, prev_ref,
-            w_ref,
+            ci_ref, cq_ref, phase0_ref, step_ref, mode_ref, prev_ref,
+            w_ref, hi0_ref, hq0_ref,
             audio_ref, nprev_ref, histi_ref, histq_ref,
-            slab_i, slab_q, lag_ref, sems):
+            halo_i, halo_q, lag_ref):
     k = k_taps
     t = fir_tile
     tg = TIME_TILE
     ti = pl.program_id(1)
     n_ti = pl.num_programs(1)
-    ci = pl.program_id(0)
-    # K-1 rows of left halo + 1 trailing dummy row so the DMA'd slab row
-    # count (tg + k) stays sublane-aligned (Mosaic requires multiples of 8)
-    rows = tg + k
-
-    # ---- fetch this program's input slab (overlapping window) ----------
     row0 = ti * tg
-    col0 = ci * CHAN_TILE
-    cp_i = pltpu.make_async_copy(
-        exti_hbm.at[pl.ds(row0, rows), pl.ds(col0, CHAN_TILE)],
-        slab_i, sems.at[0],
-    )
-    cp_q = pltpu.make_async_copy(
-        extq_hbm.at[pl.ds(row0, rows), pl.ds(col0, CHAN_TILE)],
-        slab_q, sems.at[1],
-    )
-    cp_i.start()
-    cp_q.start()
-    cp_i.wait()
-    cp_q.wait()
 
     # ---- residual NCO mix (quantized-phase semantics) -------------------
-    # slab row r holds sample n = row0 + r - (K-1); uint32 wrap keeps the
-    # phase correct for the (negative-n) history rows of tile 0 too
-    r = jax.lax.broadcasted_iota(jnp.int32, (rows, CHAN_TILE), 0)
-    n = (row0 + r - (k - 1)).astype(jnp.uint32)
+    # tile row r holds sample n = row0 + r; the K-1-row mixed left halo is
+    # carried tile-to-tile in VMEM scratch (the time grid is sequential),
+    # so the inputs are plain pipelined BlockSpec tiles of the raw planes
+    # rather than manually DMA'd overlapping windows of extended planes
+    r = jax.lax.broadcasted_iota(jnp.int32, (tg, CHAN_TILE), 0)
+    n = (row0 + r).astype(jnp.uint32)
     phase0 = phase0_ref[0, :]
     step = step_ref[0, :]
     phases = (phase0[None, :] + n * step[None, :]) & jnp.uint32(PHASE_MASK)
@@ -156,13 +141,21 @@ def _kernel(k_taps, fir_tile, nd, prec,
     )
     s = jnp.sin(sinidx.astype(jnp.int32).astype(jnp.float32) * _ANGLE_SCALE)
     c = jnp.sin(cosidx.astype(jnp.int32).astype(jnp.float32) * _ANGLE_SCALE)
-    xi = slab_i[:]
-    xq = slab_q[:]
-    # the first K-1 ext rows (tile 0's left halo) carry the PREVIOUS
-    # block's already-mixed tail — pass them through unmixed
-    is_hist = (row0 + r) < (k - 1)
-    mi = jnp.where(is_hist, xi, xi * c + xq * s)
-    mq = jnp.where(is_hist, xq, xq * c - xi * s)
+    xi = ci_ref[:]
+    xq = cq_ref[:]
+    mi_d = xi * c + xq * s
+    mq_d = xq * c - xi * s
+
+    @pl.when(ti == 0)
+    def _():
+        # tile 0's left halo: the previous block's already-mixed tail
+        halo_i[:] = hi0_ref[:]
+        halo_q[:] = hq0_ref[:]
+
+    mi = jnp.concatenate([halo_i[:], mi_d], axis=0)  # [tg + K - 1, C_tile]
+    mq = jnp.concatenate([halo_q[:], mq_d], axis=0)
+    halo_i[:] = mi_d[tg - (k - 1):, :]
+    halo_q[:] = mq_d[tg - (k - 1):, :]
 
     # ---- shaping FIR: banded-Toeplitz MXU products ----------------------
     # out rows j*T..(j+1)*T from mixed rows j*T..j*T+span
@@ -208,11 +201,11 @@ def _kernel(k_taps, fir_tile, nd, prec,
     def _():
         nprev_ref[0, :] = yi[tg - 1, :]
         nprev_ref[1, :] = yq[tg - 1, :]
-        histi_ref[:] = mi[tg : tg + k - 1, :]  # last K-1 mixed rows
-        histq_ref[:] = mq[tg : tg + k - 1, :]
+        histi_ref[:] = mi_d[tg - (k - 1):, :]  # last K-1 mixed rows
+        histq_ref[:] = mq_d[tg - (k - 1):, :]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "precision"))
+@functools.partial(jax.jit, static_argnames=("interpret", "precision", "packed"))
 def fused_tail_tm(
     ci_planes: jax.Array,
     cq_planes: jax.Array,
@@ -225,13 +218,18 @@ def fused_tail_tm(
     demod_prev: jax.Array,
     interpret: bool = False,
     precision: lax.Precision = lax.Precision.HIGHEST,
+    packed: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused mix+FIR+demod over time-major planes.
 
     Args:
       ci_planes / cq_planes: ``[nd, C]`` float32 selected-bin planes
         (pfb_channelize_direct_tm output). ``nd % TIME_TILE == 0``,
-        ``C % CHAN_TILE == 0``.
+        ``C % CHAN_TILE == 0``. With ``packed=True``, both are the SAME
+        ``[nd, 2C]`` array (columns ``[:C]`` = I, ``[C:]`` = Q — the raw
+        filterbank matmul product): the kernel's BlockSpecs address the I
+        and Q column tiles directly, avoiding the two dense column-slice
+        copies XLA would materialize before the custom call.
       phase0 / phase_step: ``[C]`` uint32 residual NCO state (phase of the
         first sample of this block) / per-sample step.
       w_toep: ``[span, T]`` shared banded weights (ops.toeplitz_weights,
@@ -250,6 +248,8 @@ def fused_tail_tm(
     if precision == lax.Precision.HIGH:
         precision = lax.Precision.HIGHEST
     nd, c = ci_planes.shape
+    if packed:
+        c //= 2
     span, t = w_toep.shape
     k = span - t + 1
     if nd % TIME_TILE:
@@ -261,19 +261,21 @@ def fused_tail_tm(
     if chan_hist_i.shape[0] != k - 1:
         raise ValueError("history length does not match the kernel")
 
-    pad = jnp.zeros((1, c), jnp.float32)  # trailing dummy row (see _kernel)
-    exti = jnp.concatenate([chan_hist_i, ci_planes, pad], axis=0)
-    extq = jnp.concatenate([chan_hist_q, cq_planes, pad], axis=0)
-
     grid = (c // CHAN_TILE, nd // TIME_TILE)
     chan_cols = lambda i, j: (0, i)
+    time_chan = lambda i, j: (j, i)
+    n_ct = c // CHAN_TILE
+    # packed planes: the Q columns live n_ct channel tiles to the right
+    time_chan_q = (lambda i, j: (j, i + n_ct)) if packed else time_chan
 
     audio, nprev, histi, histq = pl.pallas_call(
         functools.partial(_kernel, k, t, nd, precision),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # exti (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # extq
+            pl.BlockSpec((TIME_TILE, CHAN_TILE), time_chan,
+                         memory_space=pltpu.VMEM),  # ci (pipelined)
+            pl.BlockSpec((TIME_TILE, CHAN_TILE), time_chan_q,
+                         memory_space=pltpu.VMEM),  # cq
             pl.BlockSpec((1, CHAN_TILE), chan_cols,
                          memory_space=pltpu.VMEM),  # phase0
             pl.BlockSpec((1, CHAN_TILE), chan_cols,
@@ -284,9 +286,13 @@ def fused_tail_tm(
                          memory_space=pltpu.VMEM),  # demod_prev
             pl.BlockSpec((span, t), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),  # weights
+            pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # mixed hist I
+            pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # mixed hist Q
         ],
         out_specs=(
-            pl.BlockSpec((TIME_TILE, CHAN_TILE), lambda i, j: (j, i),
+            pl.BlockSpec((TIME_TILE, CHAN_TILE), time_chan,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, CHAN_TILE), chan_cols,
                          memory_space=pltpu.VMEM),
@@ -302,17 +308,16 @@ def fused_tail_tm(
             jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((TIME_TILE + k, CHAN_TILE), jnp.float32),
-            pltpu.VMEM((TIME_TILE + k, CHAN_TILE), jnp.float32),
+            pltpu.VMEM((k - 1, CHAN_TILE), jnp.float32),
+            pltpu.VMEM((k - 1, CHAN_TILE), jnp.float32),
             pltpu.VMEM((2, CHAN_TILE), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(
-        exti, extq,
+        ci_planes, cq_planes,
         phase0[None, :], phase_step[None, :],
         mode.astype(jnp.int32)[None, :], demod_prev,
-        w_toep,
+        w_toep, chan_hist_i, chan_hist_q,
     )
     return audio, histi, histq, nprev
 
@@ -322,40 +327,35 @@ def fused_tail_tm(
 # ---------------------------------------------------------------------------
 
 def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec,
-                  exti_hbm, extq_hbm, phase0_ref, step_ref, mode_ref,
-                  prev_ref, w_ref, wa_ref, ahist0_ref,
+                  ci_ref, cq_ref, phase0_ref, step_ref, mode_ref,
+                  prev_ref, w_ref, wa_ref, ahist0_ref, hi0_ref, hq0_ref,
                   audio_ref, nprev_ref, histi_ref, histq_ref, ahist_ref,
-                  slab_i, slab_q, lag_ref, atail_ref, sems):
+                  power_ref,
+                  halo_i, halo_q, lag_ref, atail_ref, pacc_ref):
     """One (chan, time) program: the :func:`_kernel` chain plus the
     decimating audio FIR, so the channel-rate audio plane never touches
     HBM. The audio-domain cross-tile carry (last K rows of each tile's
     audio) rides the ``atail_ref`` VMEM scratch, sequential over the
-    innermost time grid exactly like the FM ``lag_ref``."""
+    innermost time grid exactly like the FM ``lag_ref``.
+
+    Unlike :func:`_kernel`, the inputs are plain BlockSpec tiles of the
+    RAW planes (Pallas double-buffers the fetches): the K-1-row mixed
+    left halo each tile needs is carried tile-to-tile in the
+    ``halo_i/halo_q`` scratch instead of materializing extended planes in
+    HBM (which cost a full write+read of the [nd, C] planes per block).
+    The squelch power sum (mean |x|^2 of the pre-mix planes, see
+    channelized_step) accumulates in ``pacc_ref`` for the same reason."""
     k = k_taps
     t = fir_tile
     ti = pl.program_id(1)
     n_ti = pl.num_programs(1)
-    ci = pl.program_id(0)
-    rows = tg + k
-
     row0 = ti * tg
-    col0 = ci * CHAN_TILE
-    cp_i = pltpu.make_async_copy(
-        exti_hbm.at[pl.ds(row0, rows), pl.ds(col0, CHAN_TILE)],
-        slab_i, sems.at[0],
-    )
-    cp_q = pltpu.make_async_copy(
-        extq_hbm.at[pl.ds(row0, rows), pl.ds(col0, CHAN_TILE)],
-        slab_q, sems.at[1],
-    )
-    cp_i.start()
-    cp_q.start()
-    cp_i.wait()
-    cp_q.wait()
 
     # ---- residual NCO mix (quantized-phase semantics, as _kernel) -------
-    r = jax.lax.broadcasted_iota(jnp.int32, (rows, CHAN_TILE), 0)
-    n = (row0 + r - (k - 1)).astype(jnp.uint32)
+    # tile row r holds sample n = row0 + r (data rows only; the mixed
+    # halo is carried, never recomputed)
+    r = jax.lax.broadcasted_iota(jnp.int32, (tg, CHAN_TILE), 0)
+    n = (row0 + r).astype(jnp.uint32)
     phase0 = phase0_ref[0, :]
     step = step_ref[0, :]
     phases = (phase0[None, :] + n * step[None, :]) & jnp.uint32(PHASE_MASK)
@@ -365,11 +365,24 @@ def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec,
     )
     s = jnp.sin(sinidx.astype(jnp.int32).astype(jnp.float32) * _ANGLE_SCALE)
     c = jnp.sin(cosidx.astype(jnp.int32).astype(jnp.float32) * _ANGLE_SCALE)
-    xi = slab_i[:]
-    xq = slab_q[:]
-    is_hist = (row0 + r) < (k - 1)
-    mi = jnp.where(is_hist, xi, xi * c + xq * s)
-    mq = jnp.where(is_hist, xq, xq * c - xi * s)
+    xi = ci_ref[:]
+    xq = cq_ref[:]
+    mi_d = xi * c + xq * s
+    mq_d = xq * c - xi * s
+
+    @pl.when(ti == 0)
+    def _():
+        # block-carried state: previous block's mixed tail + power reset
+        halo_i[:] = hi0_ref[:]
+        halo_q[:] = hq0_ref[:]
+        pacc_ref[:] = jnp.zeros_like(pacc_ref)
+
+    pacc_ref[:] += jnp.sum(xi * xi + xq * xq, axis=0, keepdims=True)
+
+    mi = jnp.concatenate([halo_i[:], mi_d], axis=0)  # [tg + K - 1, C_tile]
+    mq = jnp.concatenate([halo_q[:], mq_d], axis=0)
+    halo_i[:] = mi_d[tg - (k - 1):, :]
+    halo_q[:] = mq_d[tg - (k - 1):, :]
 
     # ---- shaping FIR ----------------------------------------------------
     span = t + k - 1
@@ -425,9 +438,10 @@ def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec,
     def _():
         nprev_ref[0, :] = yi[tg - 1, :]
         nprev_ref[1, :] = yq[tg - 1, :]
-        histi_ref[:] = mi[tg : tg + k - 1, :]
-        histq_ref[:] = mq[tg : tg + k - 1, :]
+        histi_ref[:] = mi_d[tg - (k - 1):, :]
+        histq_ref[:] = mq_d[tg - (k - 1):, :]
         ahist_ref[:] = audio[tg - (k - 1):, :]
+        power_ref[:] = pacc_ref[:] * np.float32(1.0 / nd)
 
 
 def _audio_time_tile(nd: int, d: int, fir_tile: int) -> int:
@@ -445,7 +459,10 @@ def _audio_time_tile(nd: int, d: int, fir_tile: int) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("decimation", "interpret", "precision"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("decimation", "interpret", "precision", "packed"),
+)
 def fused_tail_audio_tm(
     ci_planes: jax.Array,
     cq_planes: jax.Array,
@@ -461,6 +478,7 @@ def fused_tail_audio_tm(
     audio_hist: jax.Array,
     interpret: bool = False,
     precision: lax.Precision = lax.Precision.HIGHEST,
+    packed: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """:func:`fused_tail_tm` extended through the decimating audio FIR.
 
@@ -477,9 +495,13 @@ def fused_tail_audio_tm(
         builds tile-matched weights internally).
       decimation: channel-rate -> audio-rate ratio.
       audio_hist: ``[K-1, C]`` audio-domain history carry.
+      packed: as in :func:`fused_tail_tm` — both plane args are the same
+        ``[nd, 2C]`` filterbank product, addressed in place.
 
     Returns ``(audio48 [nd // decimation, C], new_hist_i, new_hist_q,
-    new_demod_prev, new_audio_hist)``.
+    new_demod_prev, new_audio_hist, power [C])`` where ``power`` is the
+    block-mean pre-mix magnitude-squared per channel (the squelch gate
+    signal) — computed in-kernel so the planes are read exactly once.
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
@@ -488,6 +510,8 @@ def fused_tail_audio_tm(
     if precision == lax.Precision.HIGH:
         precision = lax.Precision.HIGHEST
     nd, c = ci_planes.shape
+    if packed:
+        c //= 2
     d = int(decimation)
     span, t = w_toep.shape
     k = span - t + 1
@@ -511,19 +535,21 @@ def fused_tail_audio_tm(
         axis=1,
     )  # [span_a, T_a]
 
-    pad = jnp.zeros((1, c), jnp.float32)
-    exti = jnp.concatenate([chan_hist_i, ci_planes, pad], axis=0)
-    extq = jnp.concatenate([chan_hist_q, cq_planes, pad], axis=0)
-
     grid = (c // CHAN_TILE, nd // tg)
     chan_cols = lambda i, j: (0, i)
+    time_chan = lambda i, j: (j, i)
+    n_ct = c // CHAN_TILE
+    # packed planes: the Q columns live n_ct channel tiles to the right
+    time_chan_q = (lambda i, j: (j, i + n_ct)) if packed else time_chan
 
-    audio48, nprev, histi, histq, ahist = pl.pallas_call(
+    audio48, nprev, histi, histq, ahist, power = pl.pallas_call(
         functools.partial(_kernel_audio, k, t, d, tg, nd, precision),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # exti (manual DMA)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # extq
+            pl.BlockSpec((tg, CHAN_TILE), time_chan,
+                         memory_space=pltpu.VMEM),  # ci (pipelined)
+            pl.BlockSpec((tg, CHAN_TILE), time_chan_q,
+                         memory_space=pltpu.VMEM),  # cq
             pl.BlockSpec((1, CHAN_TILE), chan_cols,
                          memory_space=pltpu.VMEM),  # phase0
             pl.BlockSpec((1, CHAN_TILE), chan_cols,
@@ -538,9 +564,13 @@ def fused_tail_audio_tm(
                          memory_space=pltpu.VMEM),  # audio weights
             pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
                          memory_space=pltpu.VMEM),  # audio history carry
+            pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # mixed hist I
+            pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # mixed hist Q
         ],
         out_specs=(
-            pl.BlockSpec((t_a, CHAN_TILE), lambda i, j: (j, i),
+            pl.BlockSpec((t_a, CHAN_TILE), time_chan,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2, CHAN_TILE), chan_cols,
                          memory_space=pltpu.VMEM),
@@ -550,6 +580,8 @@ def fused_tail_audio_tm(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nd // d, c), jnp.float32),
@@ -557,19 +589,20 @@ def fused_tail_audio_tm(
             jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
             jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
             jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tg + k, CHAN_TILE), jnp.float32),
-            pltpu.VMEM((tg + k, CHAN_TILE), jnp.float32),
+            pltpu.VMEM((k - 1, CHAN_TILE), jnp.float32),
+            pltpu.VMEM((k - 1, CHAN_TILE), jnp.float32),
             pltpu.VMEM((2, CHAN_TILE), jnp.float32),
             pltpu.VMEM((k, CHAN_TILE), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((1, CHAN_TILE), jnp.float32),
         ],
         interpret=interpret,
     )(
-        exti, extq,
+        ci_planes, cq_planes,
         phase0[None, :], phase_step[None, :],
         mode.astype(jnp.int32)[None, :], demod_prev,
-        w_toep, wa, audio_hist,
+        w_toep, wa, audio_hist, chan_hist_i, chan_hist_q,
     )
-    return audio48, histi, histq, nprev, ahist
+    return audio48, histi, histq, nprev, ahist, power[0]

@@ -222,7 +222,7 @@ def _shard_body_tm(cfg: ChannelizedConfig, t_shards: int, c_shards: int,
 
         fir_tile = params.chan_toep.shape[1]
         if _audio_time_tile(nd_local, cfg.audio_decim, fir_tile):
-            audio, _, _, _, _ = fused_tail_audio_tm(
+            audio, _, _, _, _, _ = fused_tail_audio_tm(
                 ci, cq, phase_here, params.residual_step,
                 params.chan_toep, params.audio_toep, cfg.audio_decim,
                 params.mode, hist_i, hist_q, prev, audio_hist,

@@ -291,16 +291,22 @@ def channelized_step(
     )
     if use_tm:
         c = cfg.num_channels
+        use_pallas = _use_pallas_tm(cfg, nd, params)
+        # the Pallas tail addresses the packed [nd, 2C] filterbank product
+        # in place (BlockSpec column tiles), skipping the dense I/Q
+        # column-slice copies XLA materializes before a custom call
         ci, cq, pfb_hist = pfb_channelize_direct_tm(
-            iq, params.pfb_weights, cfg.num_bins, state.pfb_hist
-        )  # [nd, C] planes
+            iq, params.pfb_weights, cfg.num_bins, state.pfb_hist,
+            split=not use_pallas,
+        )  # [nd, C] planes (or twice the packed [nd, 2C] product)
         prec = (
             jax.lax.Precision.HIGHEST
             if cfg.fir_precision == "highest"
             else jax.lax.Precision.HIGH
         )
         audio = None
-        if _use_pallas_tm(cfg, nd, params):
+        power = None
+        if use_pallas:
             from ..ops.pallas_tail_tm import (
                 _audio_time_tile,
                 fused_tail_audio_tm,
@@ -310,15 +316,16 @@ def channelized_step(
             fir_tile = params.chan_toep.shape[1]
             if _audio_time_tile(nd, cfg.audio_decim, fir_tile):
                 # fully fused: the channel-rate audio plane never leaves
-                # VMEM; the kernel emits 48 kHz audio + all carries
-                audio_tm48, hist_i, hist_q, demod_prev, ahist = (
+                # VMEM; the kernel emits 48 kHz audio + all carries + the
+                # squelch power (so the planes are read exactly once)
+                audio_tm48, hist_i, hist_q, demod_prev, ahist, power = (
                     fused_tail_audio_tm(
                         ci, cq, state.nco_phase, params.residual_step,
                         params.chan_toep, params.audio_toep,
                         cfg.audio_decim, params.mode,
                         state.chan_hist[0].T, state.chan_hist[1].T,
                         state.demod_prev, state.audio_hist.T,
-                        precision=prec,
+                        precision=prec, packed=True,
                     )
                 )
                 audio, audio_hist_tm = audio_tm48, ahist
@@ -327,8 +334,10 @@ def channelized_step(
                     ci, cq, state.nco_phase, params.residual_step,
                     params.chan_toep, params.mode,
                     state.chan_hist[0].T, state.chan_hist[1].T,
-                    state.demod_prev, precision=prec,
+                    state.demod_prev, precision=prec, packed=True,
                 )
+                pm = jnp.mean(ci * ci, axis=0)  # [2C] packed plane power
+                power = pm[:c] + pm[c:]
             chan_hist_new = jnp.stack([hist_i.T, hist_q.T])
         else:
             mix_tm = ops.nco_mix_tm_fast if cfg.fast_nco else ops.nco_mix_tm
@@ -352,8 +361,9 @@ def channelized_step(
             )
         audio = audio.T  # [C, audio_frames] — the host layout
         # squelch gate power from the pre-mix selected bins (same signal
-        # the [2, C, nd] path uses)
-        power = jnp.mean(ci * ci + cq * cq, axis=0)  # [C]
+        # the [2, C, nd] path uses); the fused kernel already accumulated it
+        if power is None:
+            power = jnp.mean(ci * ci + cq * cq, axis=0)  # [C]
         power_db = 10.0 * jnp.log10(jnp.maximum(power, 1e-30))
         gate = jnp.logical_or(params.squelch >= 0.0, power_db >= params.squelch)
         audio = audio * (params.af_gain * gate.astype(jnp.float32))[:, None]
