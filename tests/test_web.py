@@ -280,6 +280,51 @@ def test_audio_stream_wav(app):
     assert np.abs(pcm).max() > 100
 
 
+def test_audio_stream_mp3(app):
+    """Stream live MP3 audio and decode it: must be a tone, not a square
+    wave (VERDICT round-1 item 1 — the +/-1.0 vs +/-32768 LAME convention)."""
+    pytest.importorskip("webradio_tpu.web.encoders")
+    from webradio_tpu.web import encoders
+    if not encoders.lame_available():
+        pytest.skip("libmp3lame not available")
+    from tests.test_encoders import _hip_decode
+    rx = app.receivers[0]
+    # the AM carrier at IF 0 demodulates to a DC envelope (crest 1.0 by
+    # nature); retune to the tone tuner's FM carrier at +100 kHz, which
+    # demodulates to a clean ~0.16-amplitude 440 Hz sine
+    status, _, _ = request(app, "PUT", f"/receivers/{rx.uuid}",
+                           {"if_frequency": 100_000, "demodulator": "FM"})
+    assert status == 204
+    try:
+        time.sleep(0.3)  # let the retuned params reach the next block
+        conn = http.client.HTTPConnection("127.0.0.1", app.server.port,
+                                          timeout=30)
+        conn.request("GET", f"/audio/{rx.uuid}.mp3")
+        resp = conn.getresponse()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type") == "audio/mpeg"
+        chunks = b""
+        while len(chunks) < 4096:  # ~ a few seconds of low-rate MP3
+            chunk = resp.read(2048)
+            if not chunk:
+                break
+            chunks += chunk
+        conn.close()
+    finally:
+        request(app, "PUT", f"/receivers/{rx.uuid}",
+                {"if_frequency": 0, "demodulator": "AM"})
+    pcm = _hip_decode(chunks)
+    assert len(pcm) > 4000, "MP3 stream did not decode"
+    core = pcm[2000:]
+    peak = np.abs(core).max()
+    assert peak > 0.01, "decoded audio is silent"
+    # hard-clipping bug symptom: almost all samples near full scale
+    assert np.mean(np.abs(core) > 0.9) < 0.05, "audio is hard-clipped"
+    # a tone has crest factor ~sqrt(2); a square wave ~1.0
+    rms = float(np.sqrt(np.mean(core**2)))
+    assert peak / rms > 1.2, f"crest {peak/rms:.2f}: looks like a square wave"
+
+
 def test_audio_stream_unknown_mountpoint(app):
     status, _, _ = request(app, "GET", "/audio/ffff.wav")
     assert status == 404

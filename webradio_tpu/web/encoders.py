@@ -56,8 +56,11 @@ def lame_available() -> bool:
 class Mp3Encoder(AudioEncoder):
     """LAME MP3: joint stereo, VBR default quality 2 (mp3encoder.cxx:35-46).
 
-    Mono input is duplicated onto both channels and scaled to +/-32768
-    before ``lame_encode_buffer_float`` (mp3encoder.cxx:64-72).
+    Mono input is duplicated onto both channels, as in mp3encoder.cxx:64-72.
+    The reference scales to +/-32768 because it calls
+    ``lame_encode_buffer_float`` (whose convention is +/-32768 full scale);
+    here we call ``lame_encode_buffer_ieee_float``, whose input convention is
+    +/-1.0 full scale, so the samples go in unscaled.
     """
 
     content_type = "audio/mpeg"
@@ -82,16 +85,16 @@ class Mp3Encoder(AudioEncoder):
     def encode(self, samples: np.ndarray) -> bytes:
         if self._closed:
             return b""
-        mono = np.asarray(samples, dtype=np.float32).reshape(-1)
-        scaled = mono * np.float32(32768.0)  # mp3encoder.cxx:68-71
-        n = len(scaled)
+        # lame_encode_buffer_ieee_float takes +/-1.0 full scale — no pre-scale.
+        mono = np.ascontiguousarray(np.asarray(samples, dtype=np.float32).reshape(-1))
+        n = len(mono)
         # worst-case output size per LAME docs (mp3encoder.cxx:57)
         out_size = int(1.25 * n) + 7200
         out = ctypes.create_string_buffer(out_size)
         written = _LAME.lame_encode_buffer_ieee_float(
             self._gf,
-            scaled.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            scaled.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            mono.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            mono.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             n,
             out,
             out_size,
