@@ -41,6 +41,8 @@ def test_matches_unfused_chain(rng):
         y2in, y2in, p0, st, w, mode, hi, hq, prev, packed=True)
     np.testing.assert_array_equal(np.asarray(p_audio), np.asarray(audio))
     np.testing.assert_array_equal(np.asarray(p_nhi), np.asarray(nhi))
+    np.testing.assert_array_equal(np.asarray(p_nhq), np.asarray(nhq))
+    np.testing.assert_array_equal(np.asarray(p_nprev), np.asarray(nprev))
 
     np.testing.assert_allclose(np.asarray(audio), np.asarray(ref_audio),
                                atol=3e-6)

@@ -354,6 +354,45 @@ def test_static_traversal_blocked(app):
     assert status == 404
 
 
+def test_connection_limit():
+    """Connections above the cap are refused (httpserver.h:42: MHD limit
+    100); a standalone tiny-capped server keeps the module app untouched."""
+    import socket
+    from webradio_tpu.web.server import RadioHttpServer
+    from webradio_tpu.web.handlers import ConfigHandler
+
+    srv = RadioHttpServer(port=0, host="127.0.0.1", max_connections=2)
+    srv.register_handler("config", ConfigHandler)
+    assert srv.start()
+    socks = []
+    try:
+        # two keep-alive connections occupy both slots
+        for _ in range(2):
+            c = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=5)
+            c.request("GET", "/config")
+            c.getresponse().read()
+            socks.append(c)
+        time.sleep(0.2)
+        # the third is refused: closed without a response
+        extra = socket.create_connection(("127.0.0.1", srv.port), timeout=5)
+        extra.sendall(b"GET /config HTTP/1.1\r\nHost: x\r\n\r\n")
+        extra.settimeout(5)
+        data = extra.recv(1024)
+        assert data == b"", f"expected refusal, got {data[:60]!r}"
+        extra.close()
+        # freeing a slot lets new connections in again
+        socks.pop().close()
+        time.sleep(0.3)
+        c = http.client.HTTPConnection("127.0.0.1", srv.port, timeout=5)
+        c.request("GET", "/config")
+        assert c.getresponse().status == 200
+        c.close()
+    finally:
+        for c in socks:
+            c.close()
+        srv.stop()
+
+
 def test_status_endpoint(app):
     status, _, data = request(app, "GET", "/status")
     assert status == 200

@@ -30,7 +30,6 @@ from .window import hamming
 from .firdesign import design_lowpass_fir
 from .fir import (
     fir_decimate,
-    fir_decimate_streaming,
     fir_decimate_toeplitz,
     fir_decimate_toeplitz_tm,
     fir_dispatch,
@@ -62,7 +61,6 @@ __all__ = [
     "hamming",
     "design_lowpass_fir",
     "fir_decimate",
-    "fir_decimate_streaming",
     "fir_decimate_toeplitz",
     "fir_decimate_toeplitz_tm",
     "fir_dispatch",

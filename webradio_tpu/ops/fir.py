@@ -159,14 +159,6 @@ def fir_decimate(
     return acc, new_history
 
 
-def fir_decimate_streaming(
-    x: jax.Array, coeff: jax.Array, decimation: int, history: jax.Array
-):
-    """Alias of :func:`fir_decimate` (API symmetry with the overlap-save
-    variant; both carry identical state)."""
-    return fir_decimate(x, coeff, decimation, history)
-
-
 def toeplitz_tile(nd_out: int, decimation: int, fir_length: int) -> int:
     """Pick the output-tile size for :func:`toeplitz_weights`, or 0 when
     no tile is eligible.

@@ -258,6 +258,12 @@ def fused_tail_tm(
         raise ValueError(f"channels {c} must be a multiple of {CHAN_TILE}")
     if TIME_TILE % t:
         raise ValueError(f"TIME_TILE must be a multiple of the FIR tile {t}")
+    if TIME_TILE < k - 1:
+        # the halo carry slices mi_d[tile-(k-1):] — a shorter tile would
+        # silently wrap the slice and produce wrong audio
+        raise ValueError(
+            f"time tile {TIME_TILE} must cover the K-1={k - 1} halo rows"
+        )
     if chan_hist_i.shape[0] != k - 1:
         raise ValueError("history length does not match the kernel")
 
@@ -523,6 +529,12 @@ def fused_tail_audio_tm(
     if tg == 0:
         raise ValueError(
             f"no time tile divides nd={nd} for tile={t}, decim={d}"
+        )
+    if tg < k - 1:
+        # the halo carry slices mi_d[tg-(k-1):] — a shorter tile would
+        # silently wrap the slice and produce wrong audio
+        raise ValueError(
+            f"time tile {tg} must cover the K-1={k - 1} halo rows"
         )
     t_a = tg // d
     span_a = (t_a - 1) * d + k
