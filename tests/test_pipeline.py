@@ -179,3 +179,24 @@ def test_af_gain_and_squelch(rng):
     # same threshold, full-power carrier -> open
     _, audio_o, _ = frontend_step(CFG, muted, init_state(CFG), iq)
     assert float(np.abs(np.asarray(audio_o)).max()) > 0.0
+
+
+def test_squelch_positive_threshold_and_disable(rng):
+    """Positive-dB thresholds gate for real (no silent 'off at >= 0'
+    wraparound); None — the REST layer's JSON null — disables the gate."""
+    from webradio_tpu.pipeline import make_receiver_params, init_state
+    from webradio_tpu.pipeline.frontend import frontend_step
+
+    iq = _as_planes(make_iq(rng, CFG.block_frames, "fm", fs=CFG.sample_rate))
+
+    # a ~0 dB carrier sits below a +10 dB threshold -> muted
+    high = make_receiver_params(CFG, 100_000, 80_000, 8_000, "FM",
+                                squelch_db=10)
+    _, audio_h, _ = frontend_step(CFG, high, init_state(CFG), iq)
+    assert float(np.abs(np.asarray(audio_h)).max()) == 0.0
+
+    # None disables the gate entirely: even a -60 dB carrier plays
+    off = make_receiver_params(CFG, 100_000, 80_000, 8_000, "FM",
+                               squelch_db=None)
+    _, audio_off, _ = frontend_step(CFG, off, init_state(CFG), iq * 1e-3)
+    assert float(np.abs(np.asarray(audio_off)).max()) > 0.0

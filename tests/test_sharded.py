@@ -79,6 +79,29 @@ def test_sharded_matches_single_device(rng, tshape):
     )
 
 
+@pytest.mark.parametrize("squelch_db", [-10, -3])
+def test_sharded_squelch_whole_block_power(rng, squelch_db):
+    """The gate must use WHOLE-block power: a burst confined to the first
+    time shard must open (or mute) every shard exactly as the single-chip
+    step does — per-shard local power would gate shards differently."""
+    params = make_receiver_params(
+        CFG, if_hz=[100_000, 0, -50_000, 25_000],
+        if_bandwidth_hz=80_000, af_bandwidth_hz=8_000, mode="FM",
+        squelch_db=squelch_db,
+    )
+    iq_np = make_iq(rng, CFG.block_frames, "fm", fs=CFG.sample_rate)
+    iq = np.ascontiguousarray(iq_np.T).astype(np.float32)
+    iq[:, CFG.block_frames // 4:] = 0.0  # burst lives only in shard 0 of 4
+    iq = jnp.asarray(iq)
+
+    _, ref_audio, _ = frontend_step(CFG, params, init_state(CFG), iq)
+
+    fe = ShardedFrontEnd(CFG, params, make_mesh(4, 1))
+    audio, _ = fe.process(iq)
+    np.testing.assert_allclose(np.asarray(ref_audio), np.asarray(audio),
+                               atol=3e-6)
+
+
 def test_mesh_shape_heuristic():
     assert mesh_shape_for(8, 8, 102_400) == (1, 8)
     t, c = mesh_shape_for(8, 4, 102_400)
@@ -155,6 +178,8 @@ def test_tm_shard_body_matches_stage_body(rng, monkeypatch):
     params = make_channelized_params(
         cfg, [i * 11_000 - 40_000 for i in range(8)], 80_000, 8_000,
         ["FM", "AM", "USB", "LSB"] * 2,
+        # gate states: disabled, wide open, muted, and near the noise floor
+        squelch_db=[None, -200.0, 1000.0, -15.0] * 2,
     )
     assert sc._tm_body_eligible(cfg, 2, params)
     mesh = make_mesh(2, 4)

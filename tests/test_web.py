@@ -205,6 +205,34 @@ def test_receiver_get_and_put(app):
     assert status == 400
 
 
+def test_receiver_squelch_null_semantics(app):
+    """Squelch REST contract: absent = unchanged, a number (any sign)
+    gates, JSON null disables (GET reports null)."""
+    _, _, data = request(app, "GET", "/receivers")
+    uri = json.loads(data)[0]["uri"]
+
+    # default: disabled
+    _, _, data = request(app, "GET", uri)
+    assert json.loads(data)["squelch_threshold"] is None
+
+    # positive thresholds are real values, not a disable wraparound
+    status, _, _ = request(app, "PUT", uri, {"squelch_threshold": 5})
+    assert status == 204
+    _, _, data = request(app, "GET", uri)
+    assert json.loads(data)["squelch_threshold"] == 5
+
+    # an unrelated write leaves it untouched
+    request(app, "PUT", uri, {"af_gain": 3})
+    _, _, data = request(app, "GET", uri)
+    assert json.loads(data)["squelch_threshold"] == 5
+
+    # explicit null disables
+    status, _, _ = request(app, "PUT", uri, {"squelch_threshold": None})
+    assert status == 204
+    _, _, data = request(app, "GET", uri)
+    assert json.loads(data)["squelch_threshold"] is None
+
+
 def test_receiver_lifecycle_post_delete(app):
     """The reference declares POST/DELETE but 405s them
     (receiverhandler.cxx:96-106); here they work."""

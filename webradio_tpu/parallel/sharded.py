@@ -107,7 +107,10 @@ def _shard_body(cfg: ChainConfig, t_shards: int, params, state, iq_local):
     new_audio_hist = _from_last(audio_hist_local, tidx, t_shards)
     from ..pipeline.frontend import _apply_gain_squelch
 
-    audio = _apply_gain_squelch(audio, chan, rxp.af_gain, rxp.squelch)
+    # whole-block gate power (pmean over equal time shards) so every time
+    # shard of a channel gates identically
+    audio = _apply_gain_squelch(audio, chan, rxp.af_gain, rxp.squelch,
+                                axis_name="time")
 
     new_state = FrontEndState(
         rx=ReceiverState(

@@ -102,9 +102,10 @@ def _shard_body(cfg: ChannelizedConfig, t_shards: int, params, state, iq_local):
     new_audio_hist = _from_last(audio_hist_local, tidx, t_shards)
     from ..pipeline.frontend import _apply_gain_squelch
 
-    # NOTE: the squelch gate is evaluated on the local time shard's power
+    # whole-block gate power (pmean over the time axis): all shards of a
+    # channel gate identically, matching the single-chip step exactly
     audio = _apply_gain_squelch(audio, chan_in, params.af_gain,
-                                params.squelch)
+                                params.squelch, axis_name="time")
 
     new_state = ChannelizedState(
         pfb_hist=new_pfb_hist,
@@ -251,12 +252,14 @@ def _shard_body_tm(cfg: ChannelizedConfig, t_shards: int, c_shards: int,
         )
     audio = audio.T  # [C_local, audio_frames_local]
 
-    # squelch gate from the local shard's selected-bin power (same note
-    # as the stage body: local-time-shard power, not whole-block)
-    power = jnp.mean(ci * ci + cq * cq, axis=0)
-    power_db = 10.0 * jnp.log10(jnp.maximum(power, 1e-30))
-    gate = jnp.logical_or(params.squelch >= 0.0, power_db >= params.squelch)
-    audio = audio * (params.af_gain * gate.astype(jnp.float32))[:, None]
+    # squelch gate from the WHOLE block's selected-bin power: a pmean over
+    # equal time shards is the block mean, so shards can never disagree
+    # and the gate decision matches the single-chip step
+    from ..pipeline.frontend import squelch_scale
+
+    power = lax.pmean(jnp.mean(ci * ci + cq * cq, axis=0), "time")
+    audio = audio * squelch_scale(power, params.af_gain,
+                                  params.squelch)[:, None]
 
     # ---- next-block carries: the last shard's local tails
     new_chan_hist = _from_last(

@@ -41,6 +41,7 @@ from ..ops.demod import MODES
 from ..ops.firdesign import FIR_LENGTH, design_lowpass_fir_cached
 from ..ops.nco import nco_phase_step
 from ..ops.spectrum import DEFAULT_FFT_SIZE
+from .state import _squelch_array
 import functools
 
 
@@ -138,7 +139,7 @@ class ChannelizedParams(NamedTuple):
     audio_coeff: jnp.ndarray  # [C, K] float32
     mode: jnp.ndarray  # [C] int32
     af_gain: jnp.ndarray  # [C] float32 — linear audio gain
-    squelch: jnp.ndarray  # [C] float32 — power gate threshold (dB; 0 = off)
+    squelch: jnp.ndarray  # [C] float32 — power gate threshold (dB; NaN = off)
     #: banded MXU weight matrices (ops.toeplitz_weights) for the shaping and
     #: audio FIRs, present iff every channel shares the kernel (the common
     #: case); None falls back to the per-channel strided-MAC form. Presence
@@ -163,7 +164,7 @@ def make_channelized_params(
     af_bandwidth_hz,
     mode,
     af_gain_db=0,
-    squelch_db=0,
+    squelch_db=None,
 ) -> ChannelizedParams:
     """Build parameters from per-receiver control values (scalar or
     length-``num_channels`` sequences)."""
@@ -216,7 +217,7 @@ def make_channelized_params(
         af_gain=jnp.asarray(
             np.power(10.0, np.array(gains, np.float32) / 20.0)
         ).astype(jnp.float32),
-        squelch=jnp.asarray(np.array(squelches, np.float32)),
+        squelch=jnp.asarray(_squelch_array(squelches)),
         chan_toep=shared_toep(chan, 1, cfg.chan_frames),
         audio_toep=shared_toep(audio, cfg.audio_decim, cfg.audio_frames),
     )
@@ -364,9 +365,10 @@ def channelized_step(
         # the [2, C, nd] path uses); the fused kernel already accumulated it
         if power is None:
             power = jnp.mean(ci * ci + cq * cq, axis=0)  # [C]
-        power_db = 10.0 * jnp.log10(jnp.maximum(power, 1e-30))
-        gate = jnp.logical_or(params.squelch >= 0.0, power_db >= params.squelch)
-        audio = audio * (params.af_gain * gate.astype(jnp.float32))[:, None]
+        from .frontend import squelch_scale
+
+        audio = audio * squelch_scale(power, params.af_gain,
+                                      params.squelch)[:, None]
         new_state = ChannelizedState(
             pfb_hist=pfb_hist,
             nco_phase=nco_phase,

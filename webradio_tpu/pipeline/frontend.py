@@ -22,18 +22,33 @@ from .. import ops
 from .state import ChainConfig, FrontEndParams, FrontEndState, ReceiverState
 
 
-def _apply_gain_squelch(audio, chan_iq, af_gain, squelch_db):
-    """AF gain + power squelch — implemented for real (the reference
-    surfaces both in its API but never applies them,
-    receiverhandler.cxx:118-119). The gate compares the channel's mean
-    post-filter IQ power over the block to the threshold; 0 dB (the
-    reference's constant) disables the gate.
+def squelch_scale(power, af_gain, squelch_db):
+    """Linear audio scale from AF gain and the power-squelch gate.
+
+    ``squelch_db`` is the per-channel gate threshold in dB relative to
+    full-scale mean IQ power; **NaN disables the gate** (the control
+    plane's null sentinel). Any finite value — negative, zero, or
+    positive dB — gates for real, unlike the reference, which surfaces
+    the field but never applies it (receiverhandler.cxx:118-119).
+    """
+    power_db = 10.0 * jnp.log10(jnp.maximum(power, 1e-30))
+    gate = jnp.logical_or(jnp.isnan(squelch_db), power_db >= squelch_db)
+    return af_gain * gate.astype(jnp.float32)
+
+
+def _apply_gain_squelch(audio, chan_iq, af_gain, squelch_db, axis_name=None):
+    """AF gain + power squelch over the channel's mean post-filter IQ
+    power for the block.
+
+    Time-sharded bodies must pass ``axis_name="time"`` so the gate
+    compares the WHOLE block's mean power (a ``pmean`` over equal-size
+    time shards), never the local shard's — all shards of one channel
+    must gate identically or audio chatters at shard boundaries.
     """
     power = jnp.mean(chan_iq[0] ** 2 + chan_iq[1] ** 2, axis=-1)  # [C]
-    power_db = 10.0 * jnp.log10(jnp.maximum(power, 1e-30))
-    gate = jnp.logical_or(squelch_db >= 0.0, power_db >= squelch_db)
-    scale = af_gain * gate.astype(jnp.float32)
-    return audio * scale[:, None]
+    if axis_name is not None:
+        power = jax.lax.pmean(power, axis_name)
+    return audio * squelch_scale(power, af_gain, squelch_db)[:, None]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))

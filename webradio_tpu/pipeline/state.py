@@ -22,6 +22,18 @@ from ..ops.demod import MODES
 from ..ops.spectrum import DEFAULT_FFT_SIZE
 
 
+def _squelch_array(values) -> np.ndarray:
+    """Squelch thresholds -> float32, with None (gate disabled) as NaN.
+
+    The in-device sentinel for "no squelch" is NaN — see
+    :func:`webradio_tpu.pipeline.frontend.squelch_scale` — so every
+    finite dB value, including 0 and positive thresholds, gates for real.
+    """
+    return np.array(
+        [np.nan if v is None else float(v) for v in values], np.float32
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class ChainConfig:
     """Static (compile-time) shape of one front-end's chain.
@@ -85,7 +97,7 @@ class ReceiverParams(NamedTuple):
     audio_coeff: jnp.ndarray  # [C, K] float32 — audio FIR
     mode: jnp.ndarray  # [C] int32 — demodulator law
     af_gain: jnp.ndarray  # [C] float32 — linear audio gain
-    squelch: jnp.ndarray  # [C] float32 — power gate threshold (dB; 0 = off)
+    squelch: jnp.ndarray  # [C] float32 — power gate threshold (dB; NaN = off)
     #: banded MXU weight matrices (ops.toeplitz_weights), present iff every
     #: channel shares the kernel; None -> per-channel strided-MAC form
     chan_toep: jnp.ndarray | None = None
@@ -122,7 +134,7 @@ def make_receiver_params(
     af_bandwidth_hz,
     mode,
     af_gain_db=0,
-    squelch_db=0,
+    squelch_db=None,
 ) -> FrontEndParams:
     """Build the parameter pytree from per-receiver control values.
 
@@ -182,7 +194,7 @@ def make_receiver_params(
             af_gain=jnp.asarray(
                 np.power(10.0, np.array(gains, np.float32) / 20.0)
             ).astype(jnp.float32),
-            squelch=jnp.asarray(np.array(squelches, np.float32)),
+            squelch=jnp.asarray(_squelch_array(squelches)),
             chan_toep=shared_toep(chan, cfg.chan_decim, chan_frames),
             audio_toep=shared_toep(audio, cfg.audio_decim, cfg.audio_frames),
         )

@@ -51,6 +51,9 @@ def _to_planes(block: np.ndarray) -> np.ndarray:
     # complex64 is interleaved (re, im) float32 in memory
     return np.ascontiguousarray(block.view(np.float32).reshape(-1, 2).T)
 
+#: "argument not provided" sentinel for partial control writes
+UNSET = object()
+
 _uuid_lock = threading.Lock()
 _uuid_counters: dict[str, int] = {}
 
@@ -80,7 +83,10 @@ class Receiver:
         # both functional here (dB); the reference surfaces them as
         # constant 0 stubs (receiverhandler.cxx:118-119)
         self.af_gain = 0
-        self.squelch_threshold = 0  # 0 disables the gate
+        # dB threshold, or None = gate disabled (the default). Any finite
+        # value — including 0 and positive dB — gates for real; REST
+        # writes use JSON null to disable.
+        self.squelch_threshold = None
         self.demodulator = "AM"
         self.front_end: "FrontEnd | None" = None
         Radio.receivers[self.uuid] = self
@@ -102,9 +108,14 @@ class Receiver:
 
     def update(self, *, if_frequency=None, if_bandwidth=None,
                af_bandwidth=None, demodulator=None, af_gain=None,
-               squelch_threshold=None) -> bool:
+               squelch_threshold=UNSET) -> bool:
         """Apply a control write (PUT /receivers/<id>,
-        receiverhandler.cxx:125-140). Returns False on bad demod mode."""
+        receiverhandler.cxx:125-140). Returns False on bad demod mode.
+
+        ``squelch_threshold`` distinguishes "absent" (unchanged) from an
+        explicit ``None`` (disable the gate) — pass nothing to leave it
+        alone, ``None`` to turn squelch off, a dB value to gate.
+        """
         if if_frequency is not None:
             self.if_frequency = int(if_frequency)
         if if_bandwidth is not None:
@@ -113,8 +124,11 @@ class Receiver:
             self.af_bandwidth = int(af_bandwidth)
         if af_gain is not None:
             self.af_gain = int(af_gain)
-        if squelch_threshold is not None:
-            self.squelch_threshold = int(squelch_threshold)
+        if squelch_threshold is not UNSET:
+            self.squelch_threshold = (
+                None if squelch_threshold is None
+                else float(squelch_threshold)
+            )
         if demodulator is not None:
             if demodulator not in MODES:
                 return False
@@ -213,7 +227,7 @@ class FrontEnd:
             if slot is None:
                 ifs.append(0); ifbw.append(80_000)
                 afbw.append(8_000); modes.append("AM")
-                gains.append(0); squelches.append(0)
+                gains.append(0); squelches.append(None)
             else:
                 ifs.append(slot.if_frequency)
                 ifbw.append(slot.if_bandwidth)

@@ -343,7 +343,9 @@ class ReceiverHandler(HttpRequestHandler):
             af_bandwidth=root.get("af_bandwidth"),
             demodulator=root.get("demodulator"),
             af_gain=root.get("af_gain"),
-            squelch_threshold=root.get("squelch_threshold"),
+            # presence matters: absent = unchanged, JSON null = gate off
+            **({"squelch_threshold": root["squelch_threshold"]}
+               if "squelch_threshold" in root else {}),
         )
         self.content_type = "application/json"
         return HTTP_NO_CONTENT if ok else HTTP_BAD_REQUEST
@@ -370,6 +372,9 @@ class ReceiverHandler(HttpRequestHandler):
             if_bandwidth=root.get("if_bandwidth"),
             af_bandwidth=root.get("af_bandwidth"),
             demodulator=root.get("demodulator"),
+            af_gain=root.get("af_gain"),
+            **({"squelch_threshold": root["squelch_threshold"]}
+               if "squelch_threshold" in root else {}),
         )
         if not ok:
             rx.close()
