@@ -432,6 +432,11 @@ def test_status_endpoint(app):
     assert fe["ns_per_frame"] > 0
     assert fe["realtime_factor"] is not None
     assert fe["sample_rate"] == 256_000
+    # the step metric comes from forced samples (true device time), and
+    # the per-call handoff is tracked separately
+    assert fe["step_samples"] >= 1
+    assert fe["last_step_ms"] > 0
+    assert "last_dispatch_ms" in fe
 
 
 def test_profile_endpoint(app, tmp_path):

@@ -176,6 +176,20 @@ class FrontEndPipeline:
         self._pending = (audio, latest_db)
         return result
 
+    def force_pending(self) -> bool:
+        """Force the in-flight step through the device (one-element fetch).
+
+        Profiling fence: tunneled backends ack ``block_until_ready``
+        before remote execution completes, so fetching a scalar through
+        the device->host path is the only reliable completion barrier
+        (same trick as bench.py). Returns False when nothing is in
+        flight. The result stays pending for the normal fetch.
+        """
+        if self._pending is None:
+            return False
+        jax.device_get(self._pending[1][:1])
+        return True
+
     def flush(self):
         """Fetch the last in-flight block (end of stream / teardown)."""
         result = None

@@ -32,6 +32,10 @@ from .ops.demod import MODES
 #: channel batch is wide enough that per-channel wideband mixing dominates
 CHANNELIZED_AUTO_THRESHOLD = 16
 
+#: every Nth live block is forced to completion and timed (true device-step
+#: latency for /status); other blocks keep the one-block pipelining overlap
+PROFILE_SAMPLE_EVERY = 16
+
 log = logging.getLogger(__name__)
 
 
@@ -174,10 +178,18 @@ class FrontEnd:
         # latest spectrum dB row + serving state, guarded for HTTP readers
         self._spec_lock = threading.Lock()
         self._spectrum_db: np.ndarray | None = None
-        # profiling (SURVEY §5: ns/frame per block, Radio::profile analog)
+        # profiling (SURVEY §5: ns/frame per block, Radio::profile analog).
+        # The serving loop double-buffers (process_host dispatches block N
+        # and fetches block N-1), so per-call wall time measures the
+        # HANDOFF, not the step. The honest device-step time comes from
+        # sampled blocks where the freshly dispatched step is forced to
+        # completion (dispatch -> tiny forcing fetch), the same fence
+        # bench.py uses; those samples feed ns_per_frame/last_step_ms.
         self.block_count = 0
-        self.last_step_ns = 0
-        self.total_step_ns = 0
+        self.last_dispatch_ns = 0  # per-call handoff (dispatch + fetch N-1)
+        self.last_step_ns = 0      # sampled true device-step latency
+        self.total_step_ns = 0     # sum over sampled steps only
+        self.step_samples = 0
         self.total_frames = 0
         Radio.front_ends[self.uuid] = self
 
@@ -389,13 +401,20 @@ class FrontEnd:
         block = self.ring.get(timeout)
         if block is None:
             return False
-        t0 = time.perf_counter_ns()
         iq_planes = _to_planes(block)
+        t0 = time.perf_counter_ns()
         out = self.pipeline.process_host(iq_planes)
-        self.last_step_ns = time.perf_counter_ns() - t0
-        self.total_step_ns += self.last_step_ns
+        self.last_dispatch_ns = time.perf_counter_ns() - t0
         self.block_count += 1
         self.total_frames += self.cfg.block_frames
+        if self.block_count == 1 or self.block_count % PROFILE_SAMPLE_EVERY == 0:
+            # force THIS block's step through the device and time it from
+            # its own dispatch — the metric BASELINE.md defines (one block
+            # of pipelining overlap is sacrificed on sampled blocks only)
+            if self.pipeline.force_pending():
+                self.last_step_ns = time.perf_counter_ns() - t0
+                self.total_step_ns += self.last_step_ns
+                self.step_samples += 1
 
         if out is None:
             return True  # pipeline priming: results arrive next block
@@ -420,9 +439,11 @@ class FrontEnd:
             return self._spectrum_db.copy()
 
     def profile_ns_per_frame(self) -> float:
-        if self.total_frames == 0:
+        """Sampled device-step cost per input frame (dspblock.cxx:93-104's
+        metric, measured on forced blocks only — see run_once)."""
+        if self.step_samples == 0:
             return 0.0
-        return self.total_step_ns / self.total_frames
+        return self.total_step_ns / (self.step_samples * self.cfg.block_frames)
 
     def close(self) -> None:
         self.stop()

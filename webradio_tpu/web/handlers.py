@@ -107,9 +107,16 @@ class StatusHandler(HttpRequestHandler):
                 "running": fe.running,
                 "blocks": fe.block_count,
                 "dropped_blocks": fe.ring.dropped_blocks,
+                # sampled true device-step metrics (every Nth block forced
+                # to completion, radio.PROFILE_SAMPLE_EVERY) — the metric
+                # BASELINE.md defines, not the double-buffered handoff time
                 "ns_per_frame": round(nspf, 1),
                 "realtime_factor": round(budget / nspf, 2) if nspf else None,
                 "last_step_ms": round(fe.last_step_ns / 1e6, 2),
+                "step_samples": fe.step_samples,
+                # per-call handoff cost (dispatch N + fetch N-1), what the
+                # pump actually pays each block
+                "last_dispatch_ms": round(fe.last_dispatch_ns / 1e6, 2),
                 "sample_rate": fe.cfg.sample_rate,
                 "channel_capacity": fe.cfg.num_channels,
                 "engine": ("channelized" if fe._use_channelized()
