@@ -161,6 +161,8 @@ int64_t wr_ring_depth_now(void* ring) {
 struct WrRtlTcp {
   int fd = -1;
   int64_t frames_per_block = 0;
+  uint32_t tuner_type = 0;   // rtl_tcp header: enum rtlsdr_tuner
+  uint32_t gain_count = 0;   // rtl_tcp header: supported gain count
   WrRing* ring = nullptr;  // owned
   std::thread reader;
   std::atomic<bool> stop{false};
@@ -214,6 +216,12 @@ void* wr_rtltcp_open(const char* host, int port, int64_t frames_per_block,
   auto* s = new WrRtlTcp;
   s->fd = fd;
   s->frames_per_block = frames_per_block;
+  // header fields are big-endian u32: dongle tuner type + gain count
+  uint32_t be;
+  std::memcpy(&be, hdr + 4, 4);
+  s->tuner_type = ntohl(be);
+  std::memcpy(&be, hdr + 8, 4);
+  s->gain_count = ntohl(be);
   s->ring = new WrRing(2 * frames_per_block, ring_depth);
   s->reader = std::thread([s] {
     std::vector<uint8_t> raw((size_t)2 * s->frames_per_block);
@@ -250,6 +258,16 @@ int wr_rtltcp_pop(void* session, float* out, int64_t timeout_ms) {
 
 int64_t wr_rtltcp_dropped(void* session) {
   return static_cast<WrRtlTcp*>(session)->ring->dropped.load();
+}
+
+// Dongle identity from the rtl_tcp connect header (tuner type enum +
+// supported-gain count) — the wire analog of the reference's USB-string
+// and tuner probing readback (rtlsdrtuner.cxx:215-222).
+void wr_rtltcp_dongle_info(void* session, uint32_t* tuner_type,
+                           uint32_t* gain_count) {
+  auto* s = static_cast<WrRtlTcp*>(session);
+  *tuner_type = s->tuner_type;
+  *gain_count = s->gain_count;
 }
 
 void wr_rtltcp_close(void* session) { delete static_cast<WrRtlTcp*>(session); }

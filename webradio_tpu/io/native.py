@@ -51,6 +51,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.wr_rtltcp_dropped.restype = c_i64
     lib.wr_rtltcp_dropped.argtypes = [c_void]
     lib.wr_rtltcp_close.argtypes = [c_void]
+    try:
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.wr_rtltcp_dongle_info.argtypes = [c_void, u32p, u32p]
+    except AttributeError:  # stale .so predating the symbol
+        pass
     return lib
 
 
@@ -184,6 +189,16 @@ class NativeRtlTcp:
 
     def command(self, op: int, arg: int) -> bool:
         return self._lib.wr_rtltcp_command(self._h, op, arg & 0xFFFFFFFF) == 0
+
+    def dongle_info(self) -> tuple[int, int]:
+        """(tuner_type, gain_count) from the rtl_tcp connect header."""
+        if not hasattr(self._lib, "wr_rtltcp_dongle_info"):
+            return (0, 0)
+        t = ctypes.c_uint32(0)
+        g = ctypes.c_uint32(0)
+        self._lib.wr_rtltcp_dongle_info(self._h, ctypes.byref(t),
+                                        ctypes.byref(g))
+        return (t.value, g.value)
 
     def pop(self, timeout: float | None = None) -> np.ndarray | None:
         out = np.empty((2, self.frames), np.float32)

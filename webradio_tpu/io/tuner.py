@@ -26,6 +26,58 @@ import numpy as np
 
 from .source import FileSource, RandSource, SampleSource, ToneSource
 
+#: RTL2832 reference crystal (librtlsdr DEF_RTL_XTAL_FREQ)
+RTL_XTAL_HZ = 28_800_000
+
+#: rtl_tcp header dongle-type codes (rtl_tcp.c / rtlsdr.h enum rtlsdr_tuner)
+RTL_TUNER_TYPES = {
+    0: "UNKNOWN", 1: "E4000", 2: "FC0012", 3: "FC0013",
+    4: "FC2580", 5: "R820T", 6: "R828D",
+}
+
+#: supported tuner gains in tenths of dB (librtlsdr rtlsdr_get_tuner_gains
+#: tables). The device applies the nearest supported gain to a request;
+#: the reference observes that via rtlsdr_get_tuner_gain readback
+#: (rtlsdrtuner.cxx:158-166) — over rtl_tcp the client must model it.
+RTL_GAIN_TABLES = {
+    "E4000": (-10, 15, 40, 65, 90, 115, 140, 165, 190, 215, 240, 290,
+              340, 420),
+    "FC0012": (-99, -40, 71, 179, 192),
+    "FC0013": (-99, -73, -65, -63, -60, -58, -54, 58, 61, 63, 65, 67,
+               68, 70, 71, 179, 181, 182, 184, 186, 188, 191, 197),
+    "R820T": (0, 9, 14, 27, 37, 77, 87, 125, 144, 157, 166, 197, 207,
+              229, 254, 280, 297, 328, 338, 364, 372, 386, 402, 421,
+              434, 439, 445, 480, 496),
+}
+RTL_GAIN_TABLES["R828D"] = RTL_GAIN_TABLES["R820T"]
+
+
+def rtl_effective_sample_rate(hz: int, xtal_hz: int = RTL_XTAL_HZ) -> int:
+    """The sample rate an RTL2832 actually produces for a requested rate.
+
+    librtlsdr's ``rtlsdr_set_sample_rate`` programs a 2^22 fixed-point
+    resampler ratio with the low two bits cleared, so most requested
+    rates quantize; the reference reads the achieved rate back with
+    ``rtlsdr_get_sample_rate`` (rtlsdrtuner.cxx:226-228). The rtl_tcp
+    wire protocol carries no readback reply, so the client recomputes
+    what the device did. Rates librtlsdr would reject (<=225 kHz,
+    >3.2 MHz, or inside (300, 900] kHz) return unchanged.
+
+    Note: at the stock 28.8 MHz crystal the resampler quantization is
+    sub-Hz over the whole supported range, so the integer-Hz readback
+    equals the request (verified by exhaustive scan); the formula is
+    kept exact so non-stock crystals (xtal re-programmed dongles, ppm-
+    corrected clocks) report truthfully, and so the readback *plumbing*
+    (waterfall labels, NCO plans follow effective_sample_rate) is in
+    place for drivers with coarser rate grids.
+    """
+    hz = int(hz)
+    if hz <= 225_000 or hz > 3_200_000 or 300_000 < hz <= 900_000:
+        return hz
+    ratio = ((xtal_hz << 22) // hz) & 0x0FFFFFFC
+    real_ratio = ratio | ((ratio & 0x08000000) << 1)
+    return (xtal_hz << 22) // real_ratio
+
 
 class Tuner:
     """Control-plane wrapper over a SampleSource (tuner.h semantics)."""
@@ -61,6 +113,14 @@ class Tuner:
         self.source.sample_rate = int(hz)
 
     @property
+    def effective_sample_rate(self) -> int:
+        """The rate the device actually runs at (== requested for
+        synthetic sources; hardware drivers override with the device's
+        quantized rate, the reference's rtlsdr_get_sample_rate readback,
+        rtlsdrtuner.cxx:226-228)."""
+        return int(self.source.sample_rate)
+
+    @property
     def block_frames(self) -> int:
         return self.source.block_frames
 
@@ -90,11 +150,11 @@ class Tuner:
         self._agc = bool(on)
 
     @property
-    def gain_db(self) -> int:
+    def gain_db(self) -> float:
         return self._gain_db
 
-    def set_gain_db(self, db: int) -> None:
-        self._gain_db = int(db)
+    def set_gain_db(self, db: float) -> None:
+        self._gain_db = float(db)
 
     # ---- lifecycle -------------------------------------------------
     def start(self) -> bool:
@@ -208,6 +268,42 @@ class RtlTcpTuner(Tuner):
         super().__init__(RandSource(), name="RTL-SDR (rtl_tcp)")
         self.product = "rtl_tcp"
         self.serial = subdevice
+        #: dongle identity read back from the rtl_tcp header (the wire
+        #: analog of the reference's rtlsdr_get_usb_strings +
+        #: tuner-type probing, rtlsdrtuner.cxx:215-222)
+        self.tuner_type = "UNKNOWN"
+        self.tuner_gain_count = 0
+
+    # ---- readback ---------------------------------------------------
+    @property
+    def effective_sample_rate(self) -> int:
+        """RTL2832 resampler-quantized rate for the requested rate.
+
+        rtl_tcp has no readback reply, so this computes what
+        ``rtlsdr_set_sample_rate`` did on the server — the parity
+        equivalent of the reference's rtlsdr_get_sample_rate readback
+        (rtlsdrtuner.cxx:226-228).
+        """
+        return rtl_effective_sample_rate(self.source.sample_rate)
+
+    def _apply_header(self, tuner_type: int, gain_count: int) -> None:
+        self.tuner_type = RTL_TUNER_TYPES.get(tuner_type, "UNKNOWN")
+        self.tuner_gain_count = int(gain_count)
+        if self.tuner_type != "UNKNOWN":
+            self.product = f"rtl_tcp ({self.tuner_type})"
+
+    def _quantize_gain(self, db: float) -> float:
+        """Nearest supported tuner gain — what the dongle will actually
+        apply, and what the reference would read back via
+        rtlsdr_get_tuner_gain (rtlsdrtuner.cxx:158-166). Under AGC the
+        live gain is genuinely unobtainable over rtl_tcp (the protocol
+        is one-way); GETs then report the last manual setting.
+        """
+        table = RTL_GAIN_TABLES.get(self.tuner_type)
+        if not table:
+            return float(db)
+        tenths = min(table, key=lambda g: abs(g - db * 10.0))
+        return tenths / 10.0
 
     def _cmd(self, op: int, arg: int) -> None:
         if self._native is not None:
@@ -224,7 +320,7 @@ class RtlTcpTuner(Tuner):
         self._cmd(self.CMD_AGC, 1 if self._agc else 0)
         self._cmd(self.CMD_GAIN_MODE, 0 if self._agc else 1)
         if not self._agc:
-            self._cmd(self.CMD_GAIN, self._gain_db * 10)
+            self._cmd(self.CMD_GAIN, int(round(self._gain_db * 10)))
 
     def start(self) -> bool:
         from . import native as native_mod
@@ -238,6 +334,7 @@ class RtlTcpTuner(Tuner):
             except (ConnectionError, OSError, RuntimeError):
                 return False
             self._native = session
+            self._apply_header(*session.dongle_info())
             self.source = _NativeRtlTcpSource(session)
             self.source.sample_rate = old.sample_rate
             self.source.block_frames = old.block_frames
@@ -248,11 +345,17 @@ class RtlTcpTuner(Tuner):
         except OSError:
             return False
         self._sock.settimeout(10.0)
-        hdr = self._sock.recv(12)  # "RTL0" + tuner type + gain count
-        if not hdr.startswith(b"RTL0"):
+        hdr = b""
+        while len(hdr) < 12:  # "RTL0" + tuner type + gain count
+            chunk = self._sock.recv(12 - len(hdr))
+            if not chunk:
+                break
+            hdr += chunk
+        if not hdr.startswith(b"RTL0") or len(hdr) < 12:
             self._sock.close()
             self._sock = None
             return False
+        self._apply_header(*struct.unpack(">II", hdr[4:12]))
         old = self.source
         self.source = _RtlTcpSource(self._sock)
         self.source.sample_rate = old.sample_rate
@@ -282,9 +385,10 @@ class RtlTcpTuner(Tuner):
         self._cmd(self.CMD_AGC, 1 if on else 0)
         self._cmd(self.CMD_GAIN_MODE, 0 if on else 1)
 
-    def set_gain_db(self, db: int) -> None:
-        super().set_gain_db(db)
-        self._cmd(self.CMD_GAIN, db * 10)
+    def set_gain_db(self, db: float) -> None:
+        applied = self._quantize_gain(db)
+        super().set_gain_db(applied)
+        self._cmd(self.CMD_GAIN, int(round(applied * 10)))
 
 
 TUNER_DRIVERS = {

@@ -165,9 +165,16 @@ def make_channelized_params(
     mode,
     af_gain_db=0,
     squelch_db=None,
+    actual_sample_rate=None,
 ) -> ChannelizedParams:
     """Build parameters from per-receiver control values (scalar or
-    length-``num_channels`` sequences)."""
+    length-``num_channels`` sequences).
+
+    ``actual_sample_rate`` (device readback) pins the bin grid and
+    residual NCO steps to the rate the hardware really runs at — see
+    make_receiver_params. The prototype/FIR design grid stays nominal
+    (<100 ppm apart).
+    """
     c = cfg.num_channels
 
     def expand(v):
@@ -182,11 +189,16 @@ def make_channelized_params(
     if not (len(ifs) == len(ifbws) == len(afbws) == len(modes) == c):
         raise ValueError("parameter lists must match num_channels")
 
+    fs = int(actual_sample_rate) if actual_sample_rate else cfg.sample_rate
     proto = design_prototype(cfg.sample_rate, cfg.num_bins, cfg.taps_per_phase)
-    bin_idx, residual = assign_bins(ifs, cfg.sample_rate, cfg.num_bins)
+    bin_idx, residual = assign_bins(ifs, fs, cfg.num_bins)
     weights = bin_weights_for_channels(proto, cfg.num_bins, bin_idx)
+    # residual step at the actual channel rate fs/D: r * 2^31 / (fs/D)
+    # == (r*D) * 2^31 / fs exactly (floor-division invariant under the
+    # common factor D), so the nominal case is bit-identical to the old
+    # nco_phase_step(r, cfg.channel_rate)
     steps = np.array(
-        [nco_phase_step(int(r), cfg.channel_rate) for r in residual],
+        [nco_phase_step(int(r) * cfg.num_bins, fs) for r in residual],
         dtype=np.uint32,
     )
     chan = np.stack(

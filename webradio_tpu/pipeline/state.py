@@ -135,12 +135,18 @@ def make_receiver_params(
     mode,
     af_gain_db=0,
     squelch_db=None,
+    actual_sample_rate=None,
 ) -> FrontEndParams:
     """Build the parameter pytree from per-receiver control values.
 
     Each argument is a scalar or a length-``num_channels`` sequence. FIR
     design runs host-side (NumPy); defaults match the reference receiver:
     80 kHz channel passband, 8 kHz audio passband, AM (src/radio.cxx:78-82).
+
+    ``actual_sample_rate`` (device readback, rtlsdrtuner.cxx:226-228) pins
+    the NCO frequency plan to the rate the hardware really runs at; the
+    FIR design grid stays on the nominal cfg rates (the quantization is
+    <100 ppm — far below the 64-tap design resolution).
     """
     c = cfg.num_channels
 
@@ -156,8 +162,9 @@ def make_receiver_params(
     if not (len(ifs) == len(ifbws) == len(afbws) == len(modes) == c):
         raise ValueError("parameter lists must match num_channels")
 
+    fs = int(actual_sample_rate) if actual_sample_rate else cfg.sample_rate
     steps = np.array(
-        [nco_phase_step(f, cfg.sample_rate) for f in ifs], dtype=np.uint32
+        [nco_phase_step(f, fs) for f in ifs], dtype=np.uint32
     )
     chan = np.stack(
         [

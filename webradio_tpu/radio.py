@@ -170,6 +170,11 @@ class FrontEnd:
         self.fir_precision = fir_precision
         base = cfg or ChainConfig()
         self.cfg = ChainConfig(**{**base.__dict__, "num_channels": capacity})
+        # the rate the device actually runs at (RTL dongles quantize the
+        # requested rate, rtlsdrtuner.cxx:226-228); the DSP grid stays on
+        # the nominal cfg rates, but NCO/bin frequency plans and every
+        # reported sample_rate follow this
+        self.actual_sample_rate = self.cfg.sample_rate
         self._slots: list[Receiver | None] = [None] * capacity
         self.pipeline: FrontEndPipeline | None = None
         self.ring = BlockRing()
@@ -258,8 +263,10 @@ class FrontEnd:
                 fir_precision=self.fir_precision,
                 fir_design=self.cfg.fir_design,
             )
-            params = make_channelized_params(ccfg, ifs, ifbw, afbw, modes,
-                                             gains, squelches)
+            params = make_channelized_params(
+                ccfg, ifs, ifbw, afbw, modes, gains, squelches,
+                actual_sample_rate=self.actual_sample_rate,
+            )
             if self.pipeline is None:
                 if self.engine == "sharded":
                     # mesh over every visible device: channels data-
@@ -283,8 +290,10 @@ class FrontEnd:
             else:
                 self.pipeline.update_params(params)
         else:
-            params = make_receiver_params(self.cfg, ifs, ifbw, afbw, modes,
-                                          gains, squelches)
+            params = make_receiver_params(
+                self.cfg, ifs, ifbw, afbw, modes, gains, squelches,
+                actual_sample_rate=self.actual_sample_rate,
+            )
             if self.pipeline is None:
                 self.pipeline = FrontEndPipeline(self.cfg, params)
             else:
@@ -299,6 +308,17 @@ class FrontEnd:
         if not self.tuner.start():
             log.error("front end %s: tuner failed to start", self.uuid)
             return False
+        eff = self.tuner.effective_sample_rate
+        if eff != self.actual_sample_rate:
+            self.actual_sample_rate = eff
+            if eff != self.cfg.sample_rate:
+                log.warning(
+                    "front end %s: device sample rate %d Hz (requested %d)"
+                    " — frequency plan follows the actual rate",
+                    self.uuid, eff, self.cfg.sample_rate,
+                )
+            if self.pipeline is not None:
+                self.rebuild_params()  # frequency plan onto the actual rate
         if self.pipeline is None:
             self.rebuild_params()
         # Warm the compile and the device->host path on a zero block BEFORE

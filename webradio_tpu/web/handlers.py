@@ -231,7 +231,8 @@ def _tuner_info(fe) -> dict:
         "serial_nr": t.serial,
         "manufacturer": t.manufacturer,
         "product": t.product,
-        "sample_rate": t.sample_rate,
+        # the device's ACTUAL rate (readback parity, rtlsdrtuner.cxx:226-228)
+        "sample_rate": t.effective_sample_rate,
         "iq": "true",
         "control": f"/tuners/{fe.uuid}/control",
         "peaks": f"/tuners/{fe.uuid}/peaks",
@@ -419,7 +420,9 @@ class WaterfallHandler(HttpRequestHandler):
         return self.send_json(
             {
                 "centre_frequency": fe.tuner.centre_frequency,
-                "sample_rate": fe.tuner.sample_rate,
+                # actual device rate, so the UI's frequency labels stay
+                # correct when the dongle quantizes the requested rate
+                "sample_rate": fe.tuner.effective_sample_rate,
                 "data": data,
             }
         )
@@ -443,7 +446,7 @@ class PeaksHandler(HttpRequestHandler):
 
         spectrum = fe.get_spectrum_db()
         n = len(spectrum)
-        fs = fe.tuner.sample_rate
+        fs = fe.tuner.effective_sample_rate
         centre = fe.tuner.centre_frequency
         try:
             count = int(self.query.get("count", 10))
