@@ -246,6 +246,35 @@ def init_channelized_state(cfg: ChannelizedConfig) -> ChannelizedState:
     )
 
 
+def grow_channelized_state(
+    state: ChannelizedState, new_channels: int
+) -> ChannelizedState:
+    """Carry state across a capacity growth (see pipeline.state.grow_state).
+
+    The shared pfb history is width-independent; per-channel carries pad
+    with init zeros. Valid across the xla/pallas time-major tails (both
+    carry the MIXED-signal FIR tail, so a width-driven auto-kernel flip
+    at PALLAS_TM_AUTO_THRESHOLD keeps the carry meaningful).
+    """
+    pad = new_channels - int(state.nco_phase.shape[0])
+    if pad < 0:
+        raise ValueError("capacity can only grow")
+    if pad == 0:
+        return state
+
+    def z(a, axis):
+        width = [(0, pad) if i == axis else (0, 0) for i in range(a.ndim)]
+        return jnp.pad(a, width)
+
+    return ChannelizedState(
+        pfb_hist=state.pfb_hist,
+        nco_phase=z(state.nco_phase, 0),
+        chan_hist=z(state.chan_hist, 1),
+        demod_prev=z(state.demod_prev, 1),
+        audio_hist=z(state.audio_hist, 0),
+    )
+
+
 #: channel count at which "auto" switches the time-major tail to the
 #: fused Pallas kernel. Measured full-step crossover on one v5e chip:
 #: XLA wins below C=1024, dead heat at 1024, the kernel wins 12% at 2048

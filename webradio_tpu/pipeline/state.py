@@ -208,6 +208,36 @@ def make_receiver_params(
     )
 
 
+def grow_state(state: FrontEndState, new_channels: int) -> FrontEndState:
+    """Carry DSP state across a capacity growth.
+
+    Existing channels keep their FIR histories / NCO phase / FM carry
+    bit-for-bit; new slots start from the init zeros. This is what makes
+    mid-stream capacity doubling hitless for already-attached receivers
+    (the reference's analog: live connect never restarts running blocks,
+    dspblock.cxx:57-91).
+    """
+    rx = state.rx
+    pad = new_channels - int(rx.nco_phase.shape[0])
+    if pad < 0:
+        raise ValueError("capacity can only grow")
+    if pad == 0:
+        return state
+
+    def z(a, axis):
+        width = [(0, pad) if i == axis else (0, 0) for i in range(a.ndim)]
+        return jnp.pad(a, width)
+
+    return FrontEndState(
+        rx=ReceiverState(
+            nco_phase=z(rx.nco_phase, 0),
+            chan_hist=z(rx.chan_hist, 1),
+            demod_prev=z(rx.demod_prev, 1),
+            audio_hist=z(rx.audio_hist, 0),
+        ),
+    )
+
+
 def init_state(cfg: ChainConfig) -> FrontEndState:
     """Fresh stream state: zero histories, zero phase (dspblock start)."""
     c, k = cfg.num_channels, cfg.fir_length

@@ -177,6 +177,12 @@ class FrontEnd:
         self.actual_sample_rate = self.cfg.sample_rate
         self._slots: list[Receiver | None] = [None] * capacity
         self.pipeline: FrontEndPipeline | None = None
+        # hitless growth: attaches past capacity double the slot table and
+        # background-compile a wider pipeline; the pump swaps it in between
+        # blocks (see _grow_worker / run_once). Guarded by _growth_lock.
+        self._growth_lock = threading.Lock()
+        self._grow_thread: threading.Thread | None = None
+        self._pending_swap = None
         self.ring = BlockRing()
         self._capture: CaptureThread | None = None
         self.running = False
@@ -209,13 +215,27 @@ class FrontEnd:
                 self._slots[i] = rx
                 self.rebuild_params()
                 return
-        # grow: double capacity, recompile at next block
-        self._slots.extend([None] * len(self._slots))
-        self.cfg = ChainConfig(
-            **{**self.cfg.__dict__, "num_channels": len(self._slots)}
-        )
-        self.pipeline = None  # rebuilt lazily with the new width
-        self._slots[len(self._slots) // 2] = rx
+        # grow: double the slot table. While live, the current pipeline
+        # keeps serving the old width (rebuild_params truncates to it)
+        # and a daemon thread compiles + warms the wider program; the
+        # pump swaps it in between blocks with carried state — hitless,
+        # zero ring drops (the reference's analog: live connects never
+        # stop running blocks, dspblock.cxx:57-91).
+        with self._growth_lock:
+            self._slots.extend([None] * len(self._slots))
+            self.cfg = ChainConfig(
+                **{**self.cfg.__dict__, "num_channels": len(self._slots)}
+            )
+            self._slots[len(self._slots) // 2] = rx
+            live = self.running and self.pipeline is not None
+            if live and self._grow_thread is None:
+                self._grow_thread = threading.Thread(
+                    target=self._grow_worker, daemon=True,
+                    name=f"grow-{self.uuid}",
+                )
+                self._grow_thread.start()
+            elif not live:
+                self.pipeline = None  # rebuilt at the new width below
         self.rebuild_params()
 
     def _detach(self, rx: Receiver) -> None:
@@ -228,19 +248,20 @@ class FrontEnd:
         return self._slots.index(rx)
 
     # ---- parameters ------------------------------------------------
-    def _use_channelized(self) -> bool:
+    def _use_channelized(self, width: int | None = None) -> bool:
         if self.engine in ("channelized", "sharded"):
             return True
         if self.engine == "direct":
             return False
-        return self.cfg.num_channels >= CHANNELIZED_AUTO_THRESHOLD
+        w = self.cfg.num_channels if width is None else width
+        return w >= CHANNELIZED_AUTO_THRESHOLD
 
-    def rebuild_params(self) -> None:
-        """Compile control-plane settings into the step's parameter pytree
-        (picked up at the next block; no recompilation)."""
+    def _slot_settings(self, width: int):
+        """Control values of the first ``width`` slots (empty slots run as
+        muted defaults)."""
         ifs, ifbw, afbw, modes = [], [], [], []
         gains, squelches = [], []
-        for slot in self._slots:
+        for slot in self._slots[:width]:
             if slot is None:
                 ifs.append(0); ifbw.append(80_000)
                 afbw.append(8_000); modes.append("AM")
@@ -252,52 +273,76 @@ class FrontEnd:
                 modes.append(slot.demodulator)
                 gains.append(slot.af_gain)
                 squelches.append(slot.squelch_threshold)
-        if self._use_channelized():
-            ccfg = ChannelizedConfig(
-                sample_rate=self.cfg.sample_rate,
-                channel_rate=self.cfg.channel_rate,
-                audio_rate=self.cfg.audio_rate,
-                block_frames=self.cfg.block_frames,
-                num_channels=self.cfg.num_channels,
-                fft_size=self.cfg.fft_size,
-                fir_precision=self.fir_precision,
-                fir_design=self.cfg.fir_design,
-            )
-            params = make_channelized_params(
-                ccfg, ifs, ifbw, afbw, modes, gains, squelches,
+        return ifs, ifbw, afbw, modes, gains, squelches
+
+    def _channelized_cfg(self, width: int) -> ChannelizedConfig:
+        return ChannelizedConfig(
+            sample_rate=self.cfg.sample_rate,
+            channel_rate=self.cfg.channel_rate,
+            audio_rate=self.cfg.audio_rate,
+            block_frames=self.cfg.block_frames,
+            num_channels=width,
+            fft_size=self.cfg.fft_size,
+            fir_precision=self.fir_precision,
+            fir_design=self.cfg.fir_design,
+        )
+
+    def _make_params(self, width: int):
+        """Parameter pytree for a ``width``-channel pipeline of the engine
+        type that width selects."""
+        ifs, ifbw, afbw, modes, gains, squelches = self._slot_settings(width)
+        if self._use_channelized(width):
+            return make_channelized_params(
+                self._channelized_cfg(width), ifs, ifbw, afbw, modes,
+                gains, squelches,
                 actual_sample_rate=self.actual_sample_rate,
             )
-            if self.pipeline is None:
-                if self.engine == "sharded":
-                    # mesh over every visible device: channels data-
-                    # parallel, remaining factors on the time axis
-                    import jax
+        return make_receiver_params(
+            ChainConfig(**{**self.cfg.__dict__, "num_channels": width}),
+            ifs, ifbw, afbw, modes, gains, squelches,
+            actual_sample_rate=self.actual_sample_rate,
+        )
 
-                    from .parallel import make_mesh, mesh_shape_for
-                    from .parallel.sharded_channelized import (
-                        ShardedChannelizedFrontEnd,
-                    )
+    def _build_pipeline(self, width: int):
+        """Construct (cold) a pipeline at ``width`` channels."""
+        params = self._make_params(width)
+        if self._use_channelized(width):
+            ccfg = self._channelized_cfg(width)
+            if self.engine == "sharded":
+                # mesh over every visible device: channels data-
+                # parallel, remaining factors on the time axis
+                import jax
 
-                    t, c = mesh_shape_for(
-                        len(jax.devices()), ccfg.num_channels,
-                        ccfg.block_frames, ccfg.fft_size,
-                    )
-                    self.pipeline = ShardedChannelizedFrontEnd(
-                        ccfg, params, make_mesh(t, c)
-                    )
-                else:
-                    self.pipeline = ChannelizedPipeline(ccfg, params)
-            else:
-                self.pipeline.update_params(params)
-        else:
-            params = make_receiver_params(
-                self.cfg, ifs, ifbw, afbw, modes, gains, squelches,
-                actual_sample_rate=self.actual_sample_rate,
-            )
-            if self.pipeline is None:
-                self.pipeline = FrontEndPipeline(self.cfg, params)
-            else:
-                self.pipeline.update_params(params)
+                from .parallel import make_mesh, mesh_shape_for
+                from .parallel.sharded_channelized import (
+                    ShardedChannelizedFrontEnd,
+                )
+
+                t, c = mesh_shape_for(
+                    len(jax.devices()), ccfg.num_channels,
+                    ccfg.block_frames, ccfg.fft_size,
+                )
+                return ShardedChannelizedFrontEnd(ccfg, params,
+                                                  make_mesh(t, c))
+            return ChannelizedPipeline(ccfg, params)
+        cfg = ChainConfig(**{**self.cfg.__dict__, "num_channels": width})
+        return FrontEndPipeline(cfg, params)
+
+    def rebuild_params(self) -> None:
+        """Compile control-plane settings into the step's parameter pytree
+        (picked up at the next block; no recompilation).
+
+        While a growth compile is in flight the serving pipeline is
+        NARROWER than the slot table; parameters are built at the serving
+        width (the original slots — growth appends) so control writes to
+        existing receivers stay hitless. The swap catches the new slots up.
+        """
+        if self.pipeline is None:
+            self.pipeline = self._build_pipeline(self.cfg.num_channels)
+            return
+        self.pipeline.update_params(
+            self._make_params(self.pipeline.cfg.num_channels)
+        )
 
     # ---- lifecycle --------------------------------------------------
     def start(self) -> bool:
@@ -386,8 +431,8 @@ class FrontEnd:
                     base.rx._replace(chan_toep=None, audio_toep=None),
                 ):
                     frontend_step_serving(
-                        self.cfg, base._replace(rx=rx_variant),
-                        init_state(self.cfg), iq,
+                        pl.cfg, base._replace(rx=rx_variant),
+                        init_state(pl.cfg), iq,
                     )
             else:
                 log.debug(
@@ -399,6 +444,115 @@ class FrontEnd:
         except Exception:
             log.debug("front end %s: variant warm-up failed", self.uuid,
                       exc_info=True)
+
+    def _grow_worker(self) -> None:
+        """Background-compile the grown pipeline, then hand it to the pump.
+
+        Compilation (seconds) overlaps live serving on the old width —
+        the same pattern as _warm_param_variants. If capacity grew AGAIN
+        while compiling, loop and rebuild at the latest width; only a
+        pipeline matching the current slot table is published for swap.
+        """
+        import time as _time
+
+        while True:
+            with self._growth_lock:
+                target = self.cfg.num_channels
+            log.info("front end %s: growing to %d channels (background "
+                     "compile)", self.uuid, target)
+            t0 = _time.perf_counter()
+            try:
+                pipe = self._build_pipeline(target)
+                # warm compile + transfer on a zero block, off the pump
+                warm = np.zeros((2, self.cfg.block_frames), np.float32)
+                pipe.process_host_sync(warm)
+                pipe.reset()
+                # pre-compile the state-migration pads on dummy state of
+                # the serving width, so the pump-side swap hits the jit
+                # cache (cold pads cost ~0.5 s — enough to overrun the
+                # 4-block ring on a loaded host)
+                old_pl = self.pipeline
+                if isinstance(old_pl, ChannelizedPipeline) and isinstance(
+                    pipe, ChannelizedPipeline
+                ):
+                    from .pipeline.channelized import (
+                        grow_channelized_state,
+                        init_channelized_state,
+                    )
+
+                    grow_channelized_state(
+                        init_channelized_state(old_pl.cfg), target
+                    )
+                elif isinstance(old_pl, FrontEndPipeline) and isinstance(
+                    pipe, FrontEndPipeline
+                ):
+                    from .pipeline.state import grow_state, init_state
+
+                    grow_state(init_state(old_pl.cfg), target)
+            except Exception:
+                log.exception("front end %s: growth compile failed",
+                              self.uuid)
+                with self._growth_lock:
+                    self._grow_thread = None
+                return
+            with self._growth_lock:
+                if self.cfg.num_channels == target:
+                    self._pending_swap = pipe
+                    self._grow_thread = None
+                    log.info(
+                        "front end %s: %d-channel pipeline warm in %.1fs,"
+                        " swapping at next block", self.uuid, target,
+                        _time.perf_counter() - t0,
+                    )
+                    return
+
+    def _swap_grown_pipeline(self) -> None:
+        """Pump-thread half of hitless growth: drain the old pipeline,
+        carry its DSP state into the grown one (new slots zero-padded),
+        swap, and fold in any control writes made during the compile."""
+        with self._growth_lock:
+            new_pipe = self._pending_swap
+            self._pending_swap = None
+        if new_pipe is None:
+            return
+        old = self.pipeline
+        leftover = old.flush()  # in-flight block of the old width
+        migrated = False
+        try:
+            if isinstance(old, ChannelizedPipeline) and isinstance(
+                new_pipe, ChannelizedPipeline
+            ):
+                from .pipeline.channelized import grow_channelized_state
+
+                new_pipe.state = grow_channelized_state(
+                    old.state, new_pipe.cfg.num_channels
+                )
+                migrated = True
+            elif isinstance(old, FrontEndPipeline) and isinstance(
+                new_pipe, FrontEndPipeline
+            ):
+                from .pipeline.state import grow_state
+
+                new_pipe.state = grow_state(
+                    old.state, new_pipe.cfg.num_channels
+                )
+                migrated = True
+        except Exception:
+            log.exception("front end %s: state carry-over failed; new "
+                          "pipeline starts fresh", self.uuid)
+        if not migrated:
+            # engine-type flip (direct -> channelized past the auto
+            # threshold) or sharded: carries are not layout-compatible;
+            # existing channels see one FIR-length transient (~64 samples)
+            log.info("front end %s: engine changed across growth; "
+                     "state restarts fresh", self.uuid)
+        self.pipeline = new_pipe
+        self.rebuild_params()  # control writes made during the compile
+        if leftover is not None:
+            self._publish(leftover)
+        # pre-warm the grown pipeline's alternate param structures too
+        threading.Thread(target=self._warm_param_variants, daemon=True,
+                         name=f"warm-{self.uuid}").start()
 
     def stop(self) -> None:
         if not self.running:
@@ -416,11 +570,11 @@ class FrontEnd:
         The reference blocks in ``RtlSdrTuner::process`` until the capture
         ring has a block (rtlsdrtuner.cxx:265-285); same model here.
         """
-        from .web.audiostream import AudioStreamManager
-
         block = self.ring.get(timeout)
         if block is None:
             return False
+        if self._pending_swap is not None:
+            self._swap_grown_pipeline()
         iq_planes = _to_planes(block)
         t0 = time.perf_counter_ns()
         out = self.pipeline.process_host(iq_planes)
@@ -438,17 +592,23 @@ class FrontEnd:
 
         if out is None:
             return True  # pipeline priming: results arrive next block
-        audio, spectra_db_latest = out
+        self._publish(out)
+        return True
 
+    def _publish(self, out) -> None:
+        """Fan one block's (audio, spectrum) out to HTTP readers. Audio may
+        be narrower than the slot table during growth — upper slots simply
+        have no samples yet."""
+        from .web.audiostream import AudioStreamManager
+
+        audio, spectra_db_latest = out
         with self._spec_lock:
             self._spectrum_db = spectra_db_latest
-
-        for i, rx in enumerate(self._slots):
+        for i, rx in enumerate(self._slots[: audio.shape[0]]):
             if rx is not None:
                 AudioStreamManager.publish(
                     rx.uuid, audio[i], self.cfg.audio_rate
                 )
-        return True
 
     # ---- readers (HTTP threads) ---------------------------------------
     def get_spectrum_db(self) -> np.ndarray:
