@@ -55,6 +55,20 @@ class BlockRing:
                     return None
             return self._q.popleft()
 
+    def drain(self, max_n: int) -> list:
+        """Pop up to ``max_n`` immediately-available blocks, no waiting
+        (the pump's catch-up path: a backlog runs as one scanned dispatch)."""
+        out: list = []
+        with self._lock:
+            while self._q and len(out) < max_n:
+                out.append(self._q.popleft())
+        return out
+
+    @property
+    def backlog(self) -> int:
+        with self._lock:
+            return len(self._q)
+
     def close(self) -> None:
         with self._lock:
             self._closed = True

@@ -313,13 +313,9 @@ def _tm_body_eligible(cfg: ChannelizedConfig, t_shards: int,
     )
 
 
-def sharded_channelized_step(cfg: ChannelizedConfig, mesh: Mesh):
-    """Build the jitted sharded channelized step for a mesh.
-
-    ``step(params, state, iq) -> (state, audio, spectra)`` with ``iq``
-    ``[2, block_frames]`` sharded over ``time``, audio ``[C, audio_frames]``
-    sharded ``(chan, time)``.
-    """
+def _sharded_smapped(cfg: ChannelizedConfig, mesh: Mesh):
+    """The shard_map'd step body (un-jitted) — shared by the live step
+    and the offline capture scan."""
     t_shards = mesh.shape["time"]
     c_shards = mesh.shape["chan"]
     if cfg.block_frames % (t_shards * cfg.fft_size):
@@ -365,7 +361,68 @@ def sharded_channelized_step(cfg: ChannelizedConfig, mesh: Mesh):
         out_specs=(state_spec, P("chan", "time"), P(None, "time", None)),
         check_vma=False,
     )
-    return jax.jit(smapped, donate_argnums=(1,))
+    return smapped
+
+
+def sharded_channelized_step(cfg: ChannelizedConfig, mesh: Mesh):
+    """Build the jitted sharded channelized step for a mesh.
+
+    ``step(params, state, iq) -> (state, audio, spectra)`` with ``iq``
+    ``[2, block_frames]`` sharded over ``time``, audio ``[C, audio_frames]``
+    sharded ``(chan, time)``.
+    """
+    return jax.jit(_sharded_smapped(cfg, mesh), donate_argnums=(1,))
+
+
+@functools.lru_cache(maxsize=8)
+def _capture_scan_fn(cfg: ChannelizedConfig, mesh: Mesh):
+    smapped = _sharded_smapped(cfg, mesh)
+
+    @functools.partial(jax.jit, donate_argnums=(1,))
+    def scan_fn(params, state, blocks):
+        def body(carry, iq):
+            s, audio, spectra = smapped(params, carry, iq)
+            return s, (audio, spectra[:, spectra.shape[1] - 1, :])
+
+        final, (audio, latest) = lax.scan(body, state, blocks)
+        return final, audio, latest
+
+    return scan_fn
+
+
+def run_capture_sharded(
+    cfg: ChannelizedConfig,
+    params: ChannelizedParams,
+    mesh: Mesh,
+    iq: jax.Array,
+    state: ChannelizedState | None = None,
+):
+    """Demodulate a whole recorded capture on a device mesh.
+
+    The mesh counterpart of ``pipeline.stream.run_capture_channelized``:
+    one compiled ``lax.scan`` whose body is the shard_map'd step, so the
+    per-block host dispatch disappears AND every block runs sharded
+    (time halos ride ppermute between scan iterations exactly as they do
+    between live blocks). Same contract: ``iq [2, total]`` in,
+    ``(final_state, audio [C, total_audio], latest [n, 2, fft])`` out.
+    """
+    from ..pipeline.channelized import init_channelized_state
+
+    n_blocks = iq.shape[-1] // cfg.block_frames
+    if n_blocks == 0:
+        raise ValueError("capture shorter than one block")
+    blocks = jnp.moveaxis(
+        iq[:, : n_blocks * cfg.block_frames].reshape(
+            2, n_blocks, cfg.block_frames
+        ),
+        1,
+        0,
+    )
+    if state is None:
+        state = init_channelized_state(cfg)
+    final, audio, latest = _capture_scan_fn(cfg, mesh)(params, state, blocks)
+    audio = jnp.moveaxis(audio, 0, 1).reshape(cfg.num_channels, -1)
+    return final, audio, latest
 
 
 class ShardedChannelizedFrontEnd:

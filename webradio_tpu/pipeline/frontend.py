@@ -176,6 +176,22 @@ class FrontEndPipeline:
         self._pending = (audio, latest_db)
         return result
 
+    def process_host_many(self, blocks: np.ndarray):
+        """Catch-up path: ``[k, 2, block_frames]`` backlog in ONE scanned
+        dispatch (see pipeline.stream.scan_serving). Same double-buffered
+        contract as process_host; the fetched previous result's audio may
+        be ``[C, af]`` or ``[k, C, af]``."""
+        from .stream import scan_serving
+
+        self.state, audio, latest_db = scan_serving(
+            self.cfg, self.params, self.state, jnp.asarray(blocks)
+        )
+        result = None
+        if self._pending is not None:
+            result = jax.device_get(self._pending)
+        self._pending = (audio, latest_db)
+        return result
+
     def force_pending(self) -> bool:
         """Force the in-flight step through the device (one-element fetch).
 

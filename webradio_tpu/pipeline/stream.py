@@ -68,6 +68,34 @@ def run_capture(
     return final, audio, latest
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+def scan_serving(cfg, params, state, blocks):
+    """Serving catch-up scan: k blocks in ONE dispatch.
+
+    Used by the live pump when the ring backs up (a stall, a tunnel
+    hiccup): instead of k sequential host dispatches, the backlog runs
+    as one ``lax.scan`` — per-call dispatch overhead is paid once.
+    Returns ``(state, audio [k, C, audio_frames], latest_db)`` where
+    ``latest_db`` is the LAST block's dB spectrum row (intermediate rows
+    would be overwritten before any reader saw them).
+    """
+    from .. import ops
+    from .channelized import ChannelizedConfig, channelized_step
+
+    step = (
+        channelized_step if isinstance(cfg, ChannelizedConfig)
+        else frontend_step
+    )
+
+    def body(carry, iq):
+        s, audio, spectra = step(cfg, params, carry, iq)
+        return s, (audio, spectra[:, spectra.shape[1] - 1, :])
+
+    final, (audio, latest) = jax.lax.scan(body, state, blocks)
+    latest_db = ops.spectrum_db(latest[latest.shape[0] - 1])
+    return final, audio, latest_db
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _scan_capture_channelized(cfg, params, state, blocks):
     from .channelized import channelized_step

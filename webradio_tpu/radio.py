@@ -36,6 +36,11 @@ CHANNELIZED_AUTO_THRESHOLD = 16
 #: latency for /status); other blocks keep the one-block pipelining overlap
 PROFILE_SAMPLE_EVERY = 16
 
+#: ring backlog that triggers the catch-up scan (and the blocks per scanned
+#: dispatch). One fixed size keeps the extra compiled program count at 1;
+#: the warm is lazy — a healthy real-time pump never pays for any of this
+CATCHUP_BLOCKS = 4
+
 log = logging.getLogger(__name__)
 
 
@@ -183,6 +188,11 @@ class FrontEnd:
         self._growth_lock = threading.Lock()
         self._grow_thread: threading.Thread | None = None
         self._pending_swap = None
+        # catch-up scan program state: warmed lazily the first time a
+        # backlog is observed, keyed on (cfg, params structure) so the
+        # pump never cold-compiles mid-stream
+        self._scan_warm_thread: threading.Thread | None = None
+        self._scan_ready_key = None
         self.ring = BlockRing()
         self._capture: CaptureThread | None = None
         self.running = False
@@ -445,6 +455,64 @@ class FrontEnd:
             log.debug("front end %s: variant warm-up failed", self.uuid,
                       exc_info=True)
 
+    def _catchup_key(self):
+        import jax.tree_util as jtu
+
+        pl = self.pipeline
+        return (pl.cfg, jtu.tree_structure(pl.params))
+
+    def _catchup_scan_ready(self) -> bool:
+        if not isinstance(self.pipeline,
+                          (ChannelizedPipeline, FrontEndPipeline)):
+            return False
+        return self._scan_ready_key == self._catchup_key()
+
+    def _maybe_warm_catchup_scan(self) -> None:
+        """Kick a one-shot background compile of the CATCHUP_BLOCKS-block
+        serving scan for the current pipeline. Until it lands, the pump
+        keeps processing per-block (status quo); once warm, backlogs run
+        in one dispatch."""
+        if self._scan_warm_thread is not None or self._catchup_scan_ready():
+            return
+        if not isinstance(self.pipeline,
+                          (ChannelizedPipeline, FrontEndPipeline)):
+            return
+        self._scan_warm_thread = threading.Thread(
+            target=self._warm_catchup_scan, daemon=True,
+            name=f"scanwarm-{self.uuid}",
+        )
+        self._scan_warm_thread.start()
+
+    def _warm_catchup_scan(self) -> None:
+        import jax
+
+        from .pipeline.stream import scan_serving
+
+        try:
+            pl = self.pipeline
+            key = self._catchup_key()
+            if isinstance(pl, ChannelizedPipeline):
+                from .pipeline.channelized import init_channelized_state
+
+                st = init_channelized_state(pl.cfg)
+            else:
+                from .pipeline.state import init_state
+
+                st = init_state(pl.cfg)
+            blocks = np.zeros(
+                (CATCHUP_BLOCKS, 2, pl.cfg.block_frames), np.float32
+            )
+            out = scan_serving(pl.cfg, pl.params, st, blocks)
+            jax.device_get(out[2][:1])  # force through the device
+            self._scan_ready_key = key
+            log.info("front end %s: %d-block catch-up scan warm",
+                     self.uuid, CATCHUP_BLOCKS)
+        except Exception:
+            log.debug("front end %s: catch-up scan warm failed", self.uuid,
+                      exc_info=True)
+        finally:
+            self._scan_warm_thread = None
+
     def _grow_worker(self) -> None:
         """Background-compile the grown pipeline, then hand it to the pump.
 
@@ -577,10 +645,25 @@ class FrontEnd:
             self._swap_grown_pipeline()
         iq_planes = _to_planes(block)
         t0 = time.perf_counter_ns()
-        out = self.pipeline.process_host(iq_planes)
+        n_blocks = 1
+        backlog = self.ring.backlog
+        if backlog >= CATCHUP_BLOCKS - 1 and self._catchup_scan_ready():
+            # a backlog built up (stall / tunnel hiccup): run it as ONE
+            # scanned dispatch instead of k sequential ones — per-call
+            # dispatch overhead is paid once (pipeline.stream.scan_serving)
+            extra = self.ring.drain(CATCHUP_BLOCKS - 1)
+            blocks = np.stack(
+                [iq_planes] + [_to_planes(b) for b in extra]
+            )
+            out = self.pipeline.process_host_many(blocks)
+            n_blocks = blocks.shape[0]
+        else:
+            if backlog >= 2:
+                self._maybe_warm_catchup_scan()
+            out = self.pipeline.process_host(iq_planes)
         self.last_dispatch_ns = time.perf_counter_ns() - t0
-        self.block_count += 1
-        self.total_frames += self.cfg.block_frames
+        self.block_count += n_blocks
+        self.total_frames += n_blocks * self.cfg.block_frames
         if self.block_count == 1 or self.block_count % PROFILE_SAMPLE_EVERY == 0:
             # force THIS block's step through the device and time it from
             # its own dispatch — the metric BASELINE.md defines (one block
@@ -596,19 +679,22 @@ class FrontEnd:
         return True
 
     def _publish(self, out) -> None:
-        """Fan one block's (audio, spectrum) out to HTTP readers. Audio may
-        be narrower than the slot table during growth — upper slots simply
-        have no samples yet."""
+        """Fan (audio, spectrum) out to HTTP readers. Audio may be
+        ``[C, af]`` (one block) or ``[k, C, af]`` (a catch-up scan), and
+        may be narrower than the slot table during growth — upper slots
+        simply have no samples yet."""
         from .web.audiostream import AudioStreamManager
 
         audio, spectra_db_latest = out
         with self._spec_lock:
             self._spectrum_db = spectra_db_latest
-        for i, rx in enumerate(self._slots[: audio.shape[0]]):
-            if rx is not None:
-                AudioStreamManager.publish(
-                    rx.uuid, audio[i], self.cfg.audio_rate
-                )
+        blocks = audio if audio.ndim == 3 else audio[None]
+        for blk in blocks:
+            for i, rx in enumerate(self._slots[: blk.shape[0]]):
+                if rx is not None:
+                    AudioStreamManager.publish(
+                        rx.uuid, blk[i], self.cfg.audio_rate
+                    )
 
     # ---- readers (HTTP threads) ---------------------------------------
     def get_spectrum_db(self) -> np.ndarray:
