@@ -204,3 +204,90 @@ def test_tm_shard_body_matches_stage_body(rng, monkeypatch):
     for f_tm, f_st in zip(fe_tm.state, fe_st.state):
         np.testing.assert_allclose(np.asarray(f_tm), np.asarray(f_st),
                                    atol=2e-4)
+
+
+def test_sharded_pallas_tail_matches_xla_body(rng):
+    """VERDICT r1 #7: the sharded + Pallas-tail combination, pinned by CI.
+
+    _shard_body_tm's halo RECOMPUTE must stay bit-consistent with what the
+    fused Pallas kernels (interpret mode on the CPU mesh) actually carry —
+    tail_kernel="pallas" forced with c_local == CHAN_TILE and
+    nd_local == TIME_TILE on a (time=2, chan=2) mesh, three carried blocks
+    against the XLA shard body.
+    """
+    from webradio_tpu.ops.pallas_tail_tm import CHAN_TILE, TIME_TILE
+    from webradio_tpu.parallel import sharded_channelized as sc
+    from webradio_tpu.pipeline.channelized import (
+        ChannelizedConfig, make_channelized_params,
+    )
+
+    t_shards, c_shards = 2, 2
+    c = c_shards * CHAN_TILE
+    base = dict(
+        sample_rate=1_024_000, channel_rate=128_000, audio_rate=32_000,
+        num_channels=c,
+        # the Pallas kernel mixes with the 16-bit-table NCO law; pin the
+        # XLA body to the same law (fast_nco evaluates the LO at full
+        # 31-bit phase — a ~1e-4 rad LO difference that the FM
+        # discriminator amplifies) so the comparison isolates the halo
+        # recompute, not the mixer law
+        fast_nco=False,
+    )
+    num_bins = base["sample_rate"] // base["channel_rate"]
+    base["block_frames"] = t_shards * num_bins * TIME_TILE
+
+    ifs = [(i * 7_001 - 400_000) % 512_000 - 256_000 for i in range(c)]
+    modes = ["FM", "AM", "USB", "LSB"] * (c // 4)
+
+    def make(tail):
+        cfg = ChannelizedConfig(**base, tail_kernel=tail)
+        params = make_channelized_params(
+            cfg, ifs, 80_000, 8_000, modes,
+            squelch_db=[None, -200.0, 1000.0, -15.0] * (c // 4),
+        )
+        return cfg, params
+
+    cfg_p, params_p = make("pallas")
+    nd_local = cfg_p.block_frames // t_shards // num_bins
+    assert sc._tm_body_eligible(cfg_p, t_shards, params_p)
+    assert sc._tm_uses_pallas(cfg_p, nd_local, c // c_shards, params_p), (
+        "test setup no longer forces the Pallas shard tail"
+    )
+    cfg_x, params_x = make("xla")
+    assert not sc._tm_uses_pallas(cfg_x, nd_local, c // c_shards, params_x)
+
+    # Noise for AM/USB/LSB + a strong carrier at every FM channel's IF:
+    # the atan2 discriminator has branch cuts, so FM-of-pure-noise
+    # amplifies float-epsilon differences chaotically across carried
+    # blocks — with carriers the discriminator input stays far from the
+    # origin and the comparison is numerically meaningful.
+    fs = base["sample_rate"]
+    n_total = 3 * cfg_p.block_frames
+    t_idx = np.arange(n_total, dtype=np.float64) / fs
+    sig = 0.1 * (rng.standard_normal((2, n_total)) +
+                 0.3 * rng.standard_normal((2, n_total)))
+    for ch in range(0, c, 4):  # the FM channels
+        ph = 2 * np.pi * ifs[ch] * t_idx + rng.uniform(0, 2 * np.pi)
+        sig[0] += np.cos(ph)
+        sig[1] += np.sin(ph)
+    sig = sig.astype(np.float32)
+
+    mesh = make_mesh(t_shards, c_shards)
+    bf = cfg_p.block_frames
+    blocks = [jnp.asarray(sig[:, i * bf:(i + 1) * bf]) for i in range(3)]
+
+    fe_p = sc.ShardedChannelizedFrontEnd(cfg_p, params_p, mesh)
+    outs_p = [fe_p.process(b) for b in blocks]
+    fe_x = sc.ShardedChannelizedFrontEnd(cfg_x, params_x, mesh)
+    outs_x = [fe_x.process(b) for b in blocks]
+
+    for i, ((a_p, s_p), (a_x, s_x)) in enumerate(zip(outs_p, outs_x)):
+        np.testing.assert_allclose(
+            np.asarray(a_p), np.asarray(a_x), atol=1e-5,
+            err_msg=f"block {i}: pallas shard tail diverged from xla body",
+        )
+        np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x),
+                                   atol=1e-3)
+    # the halo recompute is BIT-consistent with the fused kernel's carries
+    for f_p, f_x in zip(fe_p.state, fe_x.state):
+        np.testing.assert_array_equal(np.asarray(f_p), np.asarray(f_x))
