@@ -118,7 +118,10 @@ def worker(out_path: str) -> None:
         if dt > 4 * cfg.block_seconds:
             break
 
-    for c in (256, 1024):
+    # the direct engine is the SHIPPED DEFAULT topology (capacity 4,
+    # app.py DEFAULT_CONFIG) — small-C points cover what a stock install
+    # actually runs; its realtime factor is block_seconds / step
+    for c in (4, 16, 64, 256, 1024):
         cfg = ChainConfig(num_channels=c)
         try:
             params = make_receiver_params(cfg, ifs(c), 80_000, 8_000, "FM")
@@ -131,7 +134,8 @@ def worker(out_path: str) -> None:
             emit(kind="error", key=f"direct_c{c}", error=str(e)[:120])
             break
         emit(kind="result", path="direct", channels=c, step_ms=dt * 1e3,
-             rt_channels=c * cfg.block_seconds / dt)
+             rt_channels=c * cfg.block_seconds / dt,
+             realtime_factor=cfg.block_seconds / dt)
         if dt > 4 * cfg.block_seconds:
             break
     emit(kind="done")

@@ -103,3 +103,115 @@ def test_audio_fused_matches_unfused_chain(rng):
         np.testing.assert_allclose(np.asarray(f_hq), np.asarray(r_hq), atol=0)
         np.testing.assert_allclose(np.asarray(f_prev), np.asarray(r_prev),
                                    atol=1e-6)
+
+
+def _b128_factored_mix(ci, cq, phase0, step, b=128):
+    """The kernel's tile-anchored factored-phasor LO (FAST_LO_B=128),
+    evaluated globally — bit-equivalent because every tile start is a
+    multiple of B, so coarse/fine integer phases coincide exactly."""
+    from webradio_tpu.ops.nco import PHASE_MASK
+
+    nd = ci.shape[0]
+    a = -(-nd // b)
+    scale = np.float32(2.0 * np.pi / (1 << 31))
+    pmask = jnp.uint32(PHASE_MASK)
+    aidx = jnp.arange(a, dtype=jnp.uint32)
+    bidx = jnp.arange(b, dtype=jnp.uint32)
+    coarse = (phase0[None, :] + aidx[:, None] * (step[None, :] * jnp.uint32(b))) & pmask
+    fine = (bidx[:, None] * step[None, :]) & pmask
+    tc = coarse.astype(jnp.float32) * scale
+    tf = fine.astype(jnp.float32) * scale
+    sc, cc = jnp.sin(tc), jnp.cos(tc)
+    sf, cf = jnp.sin(tf), jnp.cos(tf)
+    cn = (cc[:, None, :] * cf[None, :, :] - sc[:, None, :] * sf[None, :, :])
+    sn = (sc[:, None, :] * cf[None, :, :] + cc[:, None, :] * sf[None, :, :])
+    cn = cn.reshape(a * b, -1)[:nd]
+    sn = sn.reshape(a * b, -1)[:nd]
+    return ci * cn + cq * sn, cq * cn - ci * sn
+
+
+def test_fast_lo_matches_factored_chain(rng):
+    """fast=True kernel == the factored-phasor mix + unfused FIR/demod
+    (the cfg.fast_nco law, ops.nco.nco_mix_tm_fast semantics)."""
+    nd, c, k = 2 * TIME_TILE, CHAN_TILE, 64
+    ci = jnp.asarray(rng.standard_normal((nd, c)).astype(np.float32))
+    cq = jnp.asarray(rng.standard_normal((nd, c)).astype(np.float32))
+    p0 = jnp.asarray(rng.integers(0, 2**31, c).astype(np.uint32))
+    st = jnp.asarray(rng.integers(0, 2**31, c).astype(np.uint32))
+    mode = jnp.asarray((np.arange(c) % 4).astype(np.int32))
+    hi = jnp.asarray(rng.standard_normal((k - 1, c)).astype(np.float32))
+    hq = jnp.asarray(rng.standard_normal((k - 1, c)).astype(np.float32))
+    prev = jnp.asarray(rng.standard_normal((2, c)).astype(np.float32))
+    coeff = np.asarray(ops.design_lowpass_fir(600_000, 2_400_000))
+    w = jnp.asarray(ops.toeplitz_weights(coeff, 1, 128))
+
+    mi, mq = _b128_factored_mix(ci, cq, p0, st)
+    x2 = jnp.concatenate([mi, mq], axis=1)
+    y2, nh2 = ops.fir_decimate_toeplitz_tm(
+        x2, w, 1, jnp.concatenate([hi, hq], axis=1))
+    ref_audio, ref_prev = ops.demodulate_tm(y2[:, :c], y2[:, c:], mode, prev)
+
+    audio, nhi, nhq, nprev = fused_tail_tm(
+        ci, cq, p0, st, w, mode, hi, hq, prev, fast=True)
+
+    np.testing.assert_allclose(np.asarray(audio), np.asarray(ref_audio),
+                               atol=3e-6)
+    # carries are rounding-near, not bit-identical: XLA fuses the
+    # reconstruction+mix chain into different FMA groupings in the two
+    # compilation contexts (the table law's simpler chain fuses alike)
+    np.testing.assert_allclose(np.asarray(nhi), np.asarray(nh2[:, :c]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nhq), np.asarray(nh2[:, c:]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nprev), np.asarray(ref_prev),
+                               atol=1e-6)
+
+
+def test_fast_lo_audio_variant_carried_blocks(rng):
+    """fast=True audio-fused kernel across two carried blocks vs the
+    factored mix + unfused chain (audio history crosses the boundary)."""
+    from webradio_tpu.ops.pallas_tail_tm import fused_tail_audio_tm
+
+    nd, c, k, d = 2560, CHAN_TILE, 64, 5
+    p0 = jnp.asarray(rng.integers(0, 2**31, c).astype(np.uint32))
+    st = jnp.asarray(rng.integers(0, 2**31, c).astype(np.uint32))
+    mode = jnp.asarray((np.arange(c) % 4).astype(np.int32))
+    coeff = np.asarray(ops.design_lowpass_fir(600_000, 2_400_000))
+    w = jnp.asarray(ops.toeplitz_weights(coeff, 1, 128))
+    acoeff = np.asarray(ops.design_lowpass_fir(8_000, 240_000))
+    wa = jnp.asarray(ops.toeplitz_weights(acoeff, d, 32))
+
+    hi = jnp.asarray(rng.standard_normal((k - 1, c)).astype(np.float32))
+    hq = jnp.asarray(rng.standard_normal((k - 1, c)).astype(np.float32))
+    prev = jnp.asarray(rng.standard_normal((2, c)).astype(np.float32))
+    ahist = jnp.asarray(rng.standard_normal((k - 1, c)).astype(np.float32))
+
+    f_hi, f_hq, f_prev, f_ahist = hi, hq, prev, ahist
+    r_hi, r_hq, r_prev, r_ahist = hi, hq, prev, ahist
+    phase = p0
+    from webradio_tpu.ops.nco import nco_advance
+    for _ in range(2):
+        ci = jnp.asarray(rng.standard_normal((nd, c)).astype(np.float32))
+        cq = jnp.asarray(rng.standard_normal((nd, c)).astype(np.float32))
+
+        mi, mq = _b128_factored_mix(ci, cq, phase, st)
+        x2 = jnp.concatenate([mi, mq], axis=1)
+        y2, nh2 = ops.fir_decimate_toeplitz_tm(
+            x2, w, 1, jnp.concatenate([r_hi, r_hq], axis=1))
+        r_hi, r_hq = nh2[:, :c], nh2[:, c:]
+        a_ref, r_prev = ops.demodulate_tm(y2[:, :c], y2[:, c:], mode, r_prev)
+        a48_ref, r_ahist = ops.fir_decimate_toeplitz_tm(a_ref, wa, d, r_ahist)
+
+        a48, f_hi, f_hq, f_prev, f_ahist, _ = fused_tail_audio_tm(
+            ci, cq, phase, st, w, wa, d, mode, f_hi, f_hq, f_prev, f_ahist,
+            fast=True)
+        phase = nco_advance(phase, st, nd)
+
+        np.testing.assert_allclose(np.asarray(a48), np.asarray(a48_ref),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(f_hi), np.asarray(r_hi),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f_hq), np.asarray(r_hq),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(f_ahist), np.asarray(r_ahist),
+                                   atol=1e-5)

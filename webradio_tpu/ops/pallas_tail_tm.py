@@ -66,19 +66,34 @@ TIME_TILE = 1024  # sublanes per program (multiple of the FIR tile T)
 _FULL_ANGLE_SCALE = np.float32(2.0 * np.pi / (1 << 31))
 
 
-def _lo_sincos(rows, row0, k, phase0, step, fast):
-    """LO sin/cos for slab rows ``0..rows-1`` (sample ``row0 + r - (K-1)``).
+#: fine-grid period of the in-kernel factored-phasor LO. Each time tile's
+#: row index splits as r = a*B + b; the LO phasor factors into
+#: coarse[a] * fine[b] (exact uint32 phase arithmetic), so only
+#: a + B ~ 2*sqrt(tile) sine evaluations are needed instead of 2*tile.
+#: Both kernels' time tiles are multiples of 128, so tile anchoring is
+#: exact (row0 % B == 0).
+FAST_LO_B = 128
+
+
+def _tile_lo(fast, tg, row0, phase0, step, fine_s, fine_c):
+    """LO sin/cos for tile rows ``0..tg-1`` (sample ``row0 + r``).
 
     ``fast=False``: the reference's 16-bit quantized-table semantics
-    (downconverter.cxx:35-52), one sin per sample. ``fast=True``: the
-    factored-phasor law of ops.nco.nco_mix_tm_fast — coarse/fine integer
-    phase split at B=128 rows, ~``rows/64`` transcendentals instead of
-    ``2*rows``, full 31-bit (unquantized) angle.
+    (downconverter.cxx:35-52) — one sin per sample, plus a per-sample
+    uint32 phase multiply. ``fast=True``: the factored-phasor law of
+    ops.nco.nco_mix_tm_fast (full 31-bit angle, strictly more accurate
+    than the table) — the dominant VPU cost of the whole tail drops from
+    2 transcendentals + 1 int multiply per sample to 4 multiply-adds
+    (measured at C=32768: the two per-sample sins alone were ~21 ms of a
+    46 ms kernel). ``fine_s``/``fine_c`` are VMEM scratch holding the
+    step-only fine table, computed once per channel tile (it is
+    row0-independent) and reused across the sequential time grid.
     """
+    pmask = jnp.uint32(PHASE_MASK)
     if not fast:
-        r = jax.lax.broadcasted_iota(jnp.int32, (rows, CHAN_TILE), 0)
-        n = (row0 + r - (k - 1)).astype(jnp.uint32)
-        phases = (phase0[None, :] + n * step[None, :]) & jnp.uint32(PHASE_MASK)
+        r = jax.lax.broadcasted_iota(jnp.int32, (tg, CHAN_TILE), 0)
+        n = (row0 + r).astype(jnp.uint32)
+        phases = (phase0[None, :] + n * step[None, :]) & pmask
         sinidx = phases >> LOOKUP_SHIFT
         cosidx = (sinidx + jnp.uint32((1 << LOOKUP_BITS) // 4)) & jnp.uint32(
             LOOKUP_MASK
@@ -86,38 +101,44 @@ def _lo_sincos(rows, row0, k, phase0, step, fast):
         s = jnp.sin(sinidx.astype(jnp.int32).astype(jnp.float32) * _ANGLE_SCALE)
         c = jnp.sin(cosidx.astype(jnp.int32).astype(jnp.float32) * _ANGLE_SCALE)
         return s, c
-    b = CHAN_TILE  # 128-row fine period: aligned, and ~sqrt(rows) sized
-    a = -(-rows // b)
-    base = (
-        phase0[None, :]
-        + (row0 - (k - 1)).astype(jnp.uint32) * step[None, :]
-    )  # [1, C]
+    b = FAST_LO_B
+    a = tg // b
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        bidx = jax.lax.broadcasted_iota(jnp.int32, (b, CHAN_TILE), 0).astype(
+            jnp.uint32
+        )
+        tf = ((bidx * step[None, :]) & pmask).astype(
+            jnp.float32
+        ) * _FULL_ANGLE_SCALE
+        fine_s[:] = jnp.sin(tf)
+        fine_c[:] = jnp.cos(tf)
+
     aidx = jax.lax.broadcasted_iota(jnp.int32, (a, CHAN_TILE), 0).astype(
         jnp.uint32
     )
-    bidx = jax.lax.broadcasted_iota(jnp.int32, (b, CHAN_TILE), 0).astype(
-        jnp.uint32
-    )
-    pmask = jnp.uint32(PHASE_MASK)
+    base = phase0[None, :] + row0.astype(jnp.uint32) * step[None, :]
     coarse = (base + aidx * (step[None, :] * jnp.uint32(b))) & pmask
-    fine = (bidx * step[None, :]) & pmask
-    tc = coarse.astype(jnp.float32) * _FULL_ANGLE_SCALE  # [A, C]
-    tf = fine.astype(jnp.float32) * _FULL_ANGLE_SCALE  # [B, C]
+    tc = coarse.astype(jnp.float32) * _FULL_ANGLE_SCALE
     sc, cc = jnp.sin(tc), jnp.cos(tc)
-    sf, cf = jnp.sin(tf), jnp.cos(tf)
-    c3 = cc[:, None, :] * cf[None, :, :] - sc[:, None, :] * sf[None, :, :]
-    s3 = sc[:, None, :] * cf[None, :, :] + cc[:, None, :] * sf[None, :, :]
+    sf, cf = fine_s[:], fine_c[:]
+    # angle addition per coarse row: [b, C] blocks, statically unrolled
+    s_rows, c_rows = [], []
+    for ai in range(a):
+        c_rows.append(cc[ai:ai + 1, :] * cf - sc[ai:ai + 1, :] * sf)
+        s_rows.append(sc[ai:ai + 1, :] * cf + cc[ai:ai + 1, :] * sf)
     return (
-        s3.reshape(a * b, CHAN_TILE)[:rows],
-        c3.reshape(a * b, CHAN_TILE)[:rows],
+        jnp.concatenate(s_rows, axis=0),
+        jnp.concatenate(c_rows, axis=0),
     )
 
 
-def _kernel(k_taps, fir_tile, nd, prec,
+def _kernel(k_taps, fir_tile, nd, prec, fast,
             ci_ref, cq_ref, phase0_ref, step_ref, mode_ref, prev_ref,
             w_ref, hi0_ref, hq0_ref,
             audio_ref, nprev_ref, histi_ref, histq_ref,
-            halo_i, halo_q, lag_ref):
+            halo_i, halo_q, lag_ref, fine_s, fine_c):
     k = k_taps
     t = fir_tile
     tg = TIME_TILE
@@ -125,22 +146,14 @@ def _kernel(k_taps, fir_tile, nd, prec,
     n_ti = pl.num_programs(1)
     row0 = ti * tg
 
-    # ---- residual NCO mix (quantized-phase semantics) -------------------
+    # ---- residual NCO mix ----------------------------------------------
     # tile row r holds sample n = row0 + r; the K-1-row mixed left halo is
     # carried tile-to-tile in VMEM scratch (the time grid is sequential),
     # so the inputs are plain pipelined BlockSpec tiles of the raw planes
     # rather than manually DMA'd overlapping windows of extended planes
-    r = jax.lax.broadcasted_iota(jnp.int32, (tg, CHAN_TILE), 0)
-    n = (row0 + r).astype(jnp.uint32)
     phase0 = phase0_ref[0, :]
     step = step_ref[0, :]
-    phases = (phase0[None, :] + n * step[None, :]) & jnp.uint32(PHASE_MASK)
-    sinidx = phases >> LOOKUP_SHIFT
-    cosidx = (sinidx + jnp.uint32((1 << LOOKUP_BITS) // 4)) & jnp.uint32(
-        LOOKUP_MASK
-    )
-    s = jnp.sin(sinidx.astype(jnp.int32).astype(jnp.float32) * _ANGLE_SCALE)
-    c = jnp.sin(cosidx.astype(jnp.int32).astype(jnp.float32) * _ANGLE_SCALE)
+    s, c = _tile_lo(fast, tg, row0, phase0, step, fine_s, fine_c)
     xi = ci_ref[:]
     xq = cq_ref[:]
     mi_d = xi * c + xq * s
@@ -205,7 +218,9 @@ def _kernel(k_taps, fir_tile, nd, prec,
         histq_ref[:] = mq_d[tg - (k - 1):, :]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "precision", "packed"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "precision", "packed", "fast")
+)
 def fused_tail_tm(
     ci_planes: jax.Array,
     cq_planes: jax.Array,
@@ -219,6 +234,7 @@ def fused_tail_tm(
     interpret: bool = False,
     precision: lax.Precision = lax.Precision.HIGHEST,
     packed: bool = False,
+    fast: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused mix+FIR+demod over time-major planes.
 
@@ -238,6 +254,9 @@ def fused_tail_tm(
       chan_hist_i / chan_hist_q: ``[K-1, C]`` MIXED-domain input tails of
         the previous block (same carry as the unfused tm path).
       demod_prev: ``[2, C]`` float32 FM previous shaped sample.
+      fast: factored-phasor LO (ops.nco.nco_mix_tm_fast semantics — full
+        31-bit angle) instead of the reference's 16-bit table law; cuts
+        the mixer's per-sample transcendentals ~50x (see _tile_lo).
 
     Returns ``(audio [nd, C], new_hist_i, new_hist_q, new_demod_prev)``.
     """
@@ -266,6 +285,9 @@ def fused_tail_tm(
         )
     if chan_hist_i.shape[0] != k - 1:
         raise ValueError("history length does not match the kernel")
+    if fast and TIME_TILE % FAST_LO_B:
+        raise ValueError("fast LO requires the time tile to be a "
+                         f"multiple of {FAST_LO_B}")
 
     grid = (c // CHAN_TILE, nd // TIME_TILE)
     chan_cols = lambda i, j: (0, i)
@@ -275,7 +297,7 @@ def fused_tail_tm(
     time_chan_q = (lambda i, j: (j, i + n_ct)) if packed else time_chan
 
     audio, nprev, histi, histq = pl.pallas_call(
-        functools.partial(_kernel, k, t, nd, precision),
+        functools.partial(_kernel, k, t, nd, precision, fast),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TIME_TILE, CHAN_TILE), time_chan,
@@ -317,6 +339,8 @@ def fused_tail_tm(
             pltpu.VMEM((k - 1, CHAN_TILE), jnp.float32),
             pltpu.VMEM((k - 1, CHAN_TILE), jnp.float32),
             pltpu.VMEM((2, CHAN_TILE), jnp.float32),
+            pltpu.VMEM((FAST_LO_B, CHAN_TILE), jnp.float32),  # fine sin
+            pltpu.VMEM((FAST_LO_B, CHAN_TILE), jnp.float32),  # fine cos
         ],
         interpret=interpret,
     )(
@@ -332,12 +356,13 @@ def fused_tail_tm(
 # audio-FIR-fused variant: mix + shaping FIR + demod + decimating audio FIR
 # ---------------------------------------------------------------------------
 
-def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec,
+def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec, fast,
                   ci_ref, cq_ref, phase0_ref, step_ref, mode_ref,
                   prev_ref, w_ref, wa_ref, ahist0_ref, hi0_ref, hq0_ref,
                   audio_ref, nprev_ref, histi_ref, histq_ref, ahist_ref,
                   power_ref,
-                  halo_i, halo_q, lag_ref, atail_ref, pacc_ref):
+                  halo_i, halo_q, lag_ref, atail_ref, pacc_ref,
+                  fine_s, fine_c):
     """One (chan, time) program: the :func:`_kernel` chain plus the
     decimating audio FIR, so the channel-rate audio plane never touches
     HBM. The audio-domain cross-tile carry (last K rows of each tile's
@@ -357,20 +382,12 @@ def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec,
     n_ti = pl.num_programs(1)
     row0 = ti * tg
 
-    # ---- residual NCO mix (quantized-phase semantics, as _kernel) -------
+    # ---- residual NCO mix (table or factored-phasor law, as _kernel) ----
     # tile row r holds sample n = row0 + r (data rows only; the mixed
     # halo is carried, never recomputed)
-    r = jax.lax.broadcasted_iota(jnp.int32, (tg, CHAN_TILE), 0)
-    n = (row0 + r).astype(jnp.uint32)
     phase0 = phase0_ref[0, :]
     step = step_ref[0, :]
-    phases = (phase0[None, :] + n * step[None, :]) & jnp.uint32(PHASE_MASK)
-    sinidx = phases >> LOOKUP_SHIFT
-    cosidx = (sinidx + jnp.uint32((1 << LOOKUP_BITS) // 4)) & jnp.uint32(
-        LOOKUP_MASK
-    )
-    s = jnp.sin(sinidx.astype(jnp.int32).astype(jnp.float32) * _ANGLE_SCALE)
-    c = jnp.sin(cosidx.astype(jnp.int32).astype(jnp.float32) * _ANGLE_SCALE)
+    s, c = _tile_lo(fast, tg, row0, phase0, step, fine_s, fine_c)
     xi = ci_ref[:]
     xq = cq_ref[:]
     mi_d = xi * c + xq * s
@@ -467,7 +484,8 @@ def _audio_time_tile(nd: int, d: int, fir_tile: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("decimation", "interpret", "precision", "packed"),
+    static_argnames=("decimation", "interpret", "precision", "packed",
+                     "fast"),
 )
 def fused_tail_audio_tm(
     ci_planes: jax.Array,
@@ -485,6 +503,7 @@ def fused_tail_audio_tm(
     interpret: bool = False,
     precision: lax.Precision = lax.Precision.HIGHEST,
     packed: bool = False,
+    fast: bool = False,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """:func:`fused_tail_tm` extended through the decimating audio FIR.
 
@@ -536,6 +555,9 @@ def fused_tail_audio_tm(
         raise ValueError(
             f"time tile {tg} must cover the K-1={k - 1} halo rows"
         )
+    if fast and tg % FAST_LO_B:
+        raise ValueError("fast LO requires the time tile to be a "
+                         f"multiple of {FAST_LO_B}")
     t_a = tg // d
     span_a = (t_a - 1) * d + k
 
@@ -555,7 +577,7 @@ def fused_tail_audio_tm(
     time_chan_q = (lambda i, j: (j, i + n_ct)) if packed else time_chan
 
     audio48, nprev, histi, histq, ahist, power = pl.pallas_call(
-        functools.partial(_kernel_audio, k, t, d, tg, nd, precision),
+        functools.partial(_kernel_audio, k, t, d, tg, nd, precision, fast),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tg, CHAN_TILE), time_chan,
@@ -609,6 +631,8 @@ def fused_tail_audio_tm(
             pltpu.VMEM((2, CHAN_TILE), jnp.float32),
             pltpu.VMEM((k, CHAN_TILE), jnp.float32),
             pltpu.VMEM((1, CHAN_TILE), jnp.float32),
+            pltpu.VMEM((FAST_LO_B, CHAN_TILE), jnp.float32),  # fine sin
+            pltpu.VMEM((FAST_LO_B, CHAN_TILE), jnp.float32),  # fine cos
         ],
         interpret=interpret,
     )(

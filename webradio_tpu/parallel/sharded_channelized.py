@@ -163,12 +163,10 @@ def _shard_body_tm(cfg: ChannelizedConfig, t_shards: int, c_shards: int,
 
     use_pallas = _tm_uses_pallas(cfg, nd_local, c_local, params)
     # the halo recompute must mix with the same law as the main tail so
-    # the injected histories are bit-consistent with what the neighbor's
-    # tail actually computed
-    mix_tm = (
-        ops.nco_mix_tm if (use_pallas or not cfg.fast_nco)
-        else ops.nco_mix_tm_fast
-    )
+    # the injected histories stay consistent with what the neighbor's
+    # tail actually computed — the fused kernels now implement BOTH laws
+    # (fast=cfg.fast_nco), so the selection is law-for-law
+    mix_tm = ops.nco_mix_tm_fast if cfg.fast_nco else ops.nco_mix_tm
 
     # ---- local tail recompute: last 2K-1 mixed rows give every halo
     t_rows = 2 * k - 1
@@ -227,13 +225,13 @@ def _shard_body_tm(cfg: ChannelizedConfig, t_shards: int, c_shards: int,
                 ci, cq, phase_here, params.residual_step,
                 params.chan_toep, params.audio_toep, cfg.audio_decim,
                 params.mode, hist_i, hist_q, prev, audio_hist,
-                precision=prec,
+                precision=prec, fast=cfg.fast_nco,
             )
         else:
             audio_tm, _, _, _ = fused_tail_tm(
                 ci, cq, phase_here, params.residual_step,
                 params.chan_toep, params.mode, hist_i, hist_q, prev,
-                precision=prec,
+                precision=prec, fast=cfg.fast_nco,
             )
     else:
         mi, mq = mix_tm(ci, cq, phase_here, params.residual_step)

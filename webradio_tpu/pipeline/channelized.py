@@ -367,7 +367,7 @@ def channelized_step(
                         cfg.audio_decim, params.mode,
                         state.chan_hist[0].T, state.chan_hist[1].T,
                         state.demod_prev, state.audio_hist.T,
-                        precision=prec, packed=True,
+                        precision=prec, packed=True, fast=cfg.fast_nco,
                     )
                 )
                 audio, audio_hist_tm = audio_tm48, ahist
@@ -377,6 +377,7 @@ def channelized_step(
                     params.chan_toep, params.mode,
                     state.chan_hist[0].T, state.chan_hist[1].T,
                     state.demod_prev, precision=prec, packed=True,
+                    fast=cfg.fast_nco,
                 )
                 pm = jnp.mean(ci * ci, axis=0)  # [2C] packed plane power
                 power = pm[:c] + pm[c:]
