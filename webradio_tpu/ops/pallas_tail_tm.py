@@ -75,6 +75,27 @@ _FULL_ANGLE_SCALE = np.float32(2.0 * np.pi / (1 << 31))
 FAST_LO_B = 128
 
 
+def _band_dot(a, b, prec):
+    """``a @ b`` with float32 accumulation inside the kernel.
+
+    Mosaic lowers only DEFAULT (bf16x1) and HIGHEST (bf16x6) dot
+    precisions; ``HIGH`` is implemented here as the classical manual
+    3-pass split — a = ah + al with ah = bf16(a), so
+    a@b ~ ah@bh + ah@bl + al@bh (the dropped al@bl term is O(eps^2)).
+    Half the MXU passes of HIGHEST at ~90 dB SNR vs the float32 form,
+    ample for the audio chain (the reference is float32 end-to-end).
+    """
+    if prec != lax.Precision.HIGH:
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=prec)
+    ah = a.astype(jnp.bfloat16)
+    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
+    return d(ah, bh) + (d(ah, bl) + d(al, bh))
+
+
 def _tile_lo(fast, tg, row0, phase0, step, fine_s, fine_c):
     """LO sin/cos for tile rows ``0..tg-1`` (sample ``row0 + r``).
 
@@ -109,7 +130,9 @@ def _tile_lo(fast, tg, row0, phase0, step, fine_s, fine_c):
         bidx = jax.lax.broadcasted_iota(jnp.int32, (b, CHAN_TILE), 0).astype(
             jnp.uint32
         )
-        tf = ((bidx * step[None, :]) & pmask).astype(
+        # Mosaic has no uint32->float32 cast; the masked phase fits 31
+        # bits, so the int32 round-trip is exact
+        tf = ((bidx * step[None, :]) & pmask).astype(jnp.int32).astype(
             jnp.float32
         ) * _FULL_ANGLE_SCALE
         fine_s[:] = jnp.sin(tf)
@@ -120,7 +143,7 @@ def _tile_lo(fast, tg, row0, phase0, step, fine_s, fine_c):
     )
     base = phase0[None, :] + row0.astype(jnp.uint32) * step[None, :]
     coarse = (base + aidx * (step[None, :] * jnp.uint32(b))) & pmask
-    tc = coarse.astype(jnp.float32) * _FULL_ANGLE_SCALE
+    tc = coarse.astype(jnp.int32).astype(jnp.float32) * _FULL_ANGLE_SCALE
     sc, cc = jnp.sin(tc), jnp.cos(tc)
     sf, cf = fine_s[:], fine_c[:]
     # angle addition per coarse row: [b, C] blocks, statically unrolled
@@ -178,10 +201,8 @@ def _kernel(k_taps, fir_tile, nd, prec, fast,
     for j in range(tg // t):
         seg_i = lax.slice_in_dim(mi, j * t, j * t + span, axis=0)
         seg_q = lax.slice_in_dim(mq, j * t, j * t + span, axis=0)
-        outs_i.append(jnp.dot(wt, seg_i, preferred_element_type=jnp.float32,
-                              precision=prec))
-        outs_q.append(jnp.dot(wt, seg_q, preferred_element_type=jnp.float32,
-                              precision=prec))
+        outs_i.append(_band_dot(wt, seg_i, prec))
+        outs_q.append(_band_dot(wt, seg_q, prec))
     yi = jnp.concatenate(outs_i, axis=0)  # [tg, C_tile]
     yq = jnp.concatenate(outs_q, axis=0)
 
@@ -262,10 +283,6 @@ def fused_tail_tm(
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
-    # Mosaic lowers only DEFAULT and HIGHEST dot precisions; clamp the
-    # intermediate tier up (the kernel is bandwidth-bound anyway)
-    if precision == lax.Precision.HIGH:
-        precision = lax.Precision.HIGHEST
     nd, c = ci_planes.shape
     if packed:
         c //= 2
@@ -414,10 +431,8 @@ def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec, fast,
     for j in range(tg // t):
         seg_i = lax.slice_in_dim(mi, j * t, j * t + span, axis=0)
         seg_q = lax.slice_in_dim(mq, j * t, j * t + span, axis=0)
-        outs_i.append(jnp.dot(wt, seg_i, preferred_element_type=jnp.float32,
-                              precision=prec))
-        outs_q.append(jnp.dot(wt, seg_q, preferred_element_type=jnp.float32,
-                              precision=prec))
+        outs_i.append(_band_dot(wt, seg_i, prec))
+        outs_q.append(_band_dot(wt, seg_q, prec))
     yi = jnp.concatenate(outs_i, axis=0)  # [tg, C_tile]
     yq = jnp.concatenate(outs_q, axis=0)
 
@@ -445,15 +460,25 @@ def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec, fast,
     lag_ref[0, :] = yi[tg - 1, :]
     lag_ref[1, :] = yq[tg - 1, :]
 
-    # ---- decimating audio FIR: one banded matmul per tile ---------------
+    # ---- decimating audio FIR: sub-tiled banded matmuls -----------------
     # ext_a[0] is audio-domain row row0-(K-1); output m of this tile reads
-    # ext_a rows m*d .. m*d+K-1 (the fir_decimate_toeplitz_tm contract)
+    # ext_a rows m*d .. m*d+K-1 (the fir_decimate_toeplitz_tm contract).
+    # The band is only K wide but a dense [T_a, span_a] dot pays for the
+    # whole (T_a-1)*D+K span — sub-tiling the output rows keeps the dense
+    # span near K (span_sub = (ta_sub-1)*D+K), cutting the padded-zero
+    # MXU FLOPs ~(T_a*D)/(ta_sub*D) at large tiles.
     t_a = tg // d
     span_a = (t_a - 1) * d + k
+    span_sub, ta_sub = wa_ref.shape
     ext_a = jnp.concatenate([atail_ref[1:, :], audio], axis=0)[:span_a]
-    audio_ref[:] = jnp.dot(wa_ref[:].T, ext_a,
-                           preferred_element_type=jnp.float32,
-                           precision=prec)  # [T_a, C_tile]
+    wa_t = wa_ref[:].T  # [ta_sub, span_sub]
+    outs_a = []
+    for jj in range(t_a // ta_sub):
+        seg = lax.slice_in_dim(
+            ext_a, jj * ta_sub * d, jj * ta_sub * d + span_sub, axis=0
+        )
+        outs_a.append(_band_dot(wa_t, seg, prec))
+    audio_ref[:] = jnp.concatenate(outs_a, axis=0)  # [T_a, C_tile]
     atail_ref[:] = audio[tg - k:, :]  # last K audio rows (row 0 unused)
 
     # ---- carries out on the last time tile ------------------------------
@@ -465,6 +490,21 @@ def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec, fast,
         histq_ref[:] = mq_d[tg - (k - 1):, :]
         ahist_ref[:] = audio[tg - (k - 1):, :]
         power_ref[:] = pacc_ref[:] * np.float32(1.0 / nd)
+
+
+#: output-row sub-tile for the in-kernel decimating audio FIR (see
+#: _kernel_audio). Pulled small by band density (the dense span grows
+#: ``ta_sub * D``-fast around the fixed K-wide band) and large by MXU
+#: row utilisation; mirrors toeplitz_tile's measured decimating optimum.
+AUDIO_SUB_TILE = 64
+
+
+def _audio_sub_tile(t_a: int) -> int:
+    """Largest eligible audio-FIR sub-tile dividing ``t_a``."""
+    for cand in (AUDIO_SUB_TILE, 32, 16, 8):
+        if cand <= t_a and t_a % cand == 0:
+            return cand
+    return t_a
 
 
 def _audio_time_tile(nd: int, d: int, fir_tile: int) -> int:
@@ -530,10 +570,6 @@ def fused_tail_audio_tm(
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
-    # Mosaic lowers only DEFAULT and HIGHEST dot precisions; clamp the
-    # intermediate tier up (the kernel is bandwidth-bound anyway)
-    if precision == lax.Precision.HIGH:
-        precision = lax.Precision.HIGHEST
     nd, c = ci_planes.shape
     if packed:
         c //= 2
@@ -559,15 +595,17 @@ def fused_tail_audio_tm(
         raise ValueError("fast LO requires the time tile to be a "
                          f"multiple of {FAST_LO_B}")
     t_a = tg // d
-    span_a = (t_a - 1) * d + k
+    ta_sub = _audio_sub_tile(t_a)
+    span_sub = (ta_sub - 1) * d + k
 
-    # tile-matched audio weights from the shared reversed kernel (column 0
-    # of any banded audio weight matrix)
+    # sub-tile-matched audio weights from the shared reversed kernel
+    # (column 0 of any banded audio weight matrix); the kernel loops the
+    # sub-tile down the t_a output rows (see _kernel_audio)
     rev = audio_toep[:k, 0]
     wa = jnp.stack(
-        [jnp.pad(rev, (m * d, span_a - m * d - k)) for m in range(t_a)],
+        [jnp.pad(rev, (m * d, span_sub - m * d - k)) for m in range(ta_sub)],
         axis=1,
-    )  # [span_a, T_a]
+    )  # [span_sub, ta_sub]
 
     grid = (c // CHAN_TILE, nd // tg)
     chan_cols = lambda i, j: (0, i)
@@ -594,7 +632,7 @@ def fused_tail_audio_tm(
                          memory_space=pltpu.VMEM),  # demod_prev
             pl.BlockSpec((span, t), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),  # shaping weights
-            pl.BlockSpec((span_a, t_a), lambda i, j: (0, 0),
+            pl.BlockSpec((span_sub, ta_sub), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),  # audio weights
             pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
                          memory_space=pltpu.VMEM),  # audio history carry
