@@ -19,6 +19,8 @@ timing lies.
 
 Baseline: the reference demonstrates exactly 1 real-time receiver on its
 target CPU (SURVEY §6, BASELINE.md) — ``vs_baseline`` is the channel ratio.
+The headline value is the largest channel batch whose measured step fits
+the 42.7 ms block budget (fully real-time, never throughput-normalized).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -101,8 +103,18 @@ def worker(out_path: str) -> None:
     def ifs(c):
         return [int((i - c // 2) * 2_000) for i in range(c)]
 
-    for c in (1024, 4096, 16384, 32768):
-        cfg = ChannelizedConfig(num_channels=c)
+    # fir_precision="highest" is float32-identical to the direct form
+    # (bf16x6); "high" is the bf16x3 tier (~65 dB SNR vs the float32
+    # chain through the FM discriminator — see BASELINE.md), benched at
+    # the widest batch where it buys a real-time config that "highest"
+    # cannot reach
+    sweep = [
+        (1024, "highest"), (4096, "highest"), (16384, "highest"),
+        (32768, "highest"), (49152, "highest"), (65536, "high"),
+    ]
+    for c, fp in sweep:
+        cfg = ChannelizedConfig(num_channels=c, fir_precision=fp)
+        key = f"pfb_c{c}" + ("" if fp == "highest" else f"_{fp}")
         try:
             params = make_channelized_params(cfg, ifs(c), 80_000, 8_000, "FM")
             state = init_channelized_state(cfg)
@@ -111,10 +123,12 @@ def worker(out_path: str) -> None:
                 params, state, iq, checksum,
             )
         except Exception as e:
-            emit(kind="error", key=f"pfb_c{c}", error=str(e)[:120])
+            emit(kind="error", key=key, error=str(e)[:120])
             break
-        emit(kind="result", path="pfb", channels=c, step_ms=dt * 1e3,
-             rt_channels=c * cfg.block_seconds / dt)
+        emit(kind="result", path="pfb", key=key, channels=c,
+             precision=fp, step_ms=dt * 1e3,
+             rt_channels=c * cfg.block_seconds / dt,
+             realtime=dt <= cfg.block_seconds)
         if dt > 4 * cfg.block_seconds:
             break
 
@@ -183,7 +197,11 @@ def main() -> None:
             child.kill()
         child.wait()
 
-    report, best_rt, best_c = {}, 0.0, 0
+    # headline: the LARGEST channel batch whose measured step fits inside
+    # the 42.7 ms block budget — fully real-time, not throughput-
+    # normalized. Falls back to throughput-normalized best (with a note)
+    # only if nothing measured real-time.
+    report, best_rt, best_c, best_tp = {}, 0.0, 0, 0.0
     try:
         for line in open(path):
             try:
@@ -191,15 +209,20 @@ def main() -> None:
             except ValueError:
                 continue
             if rec.get("kind") == "result":
-                key = f"{rec['path']}_c{rec['channels']}"
+                key = rec.get("key") or f"{rec['path']}_c{rec['channels']}"
                 report[f"{key}_step_ms"] = round(rec["step_ms"], 2)
                 report[f"{key}_rt_channels"] = round(rec["rt_channels"], 1)
-                if rec["path"] == "pfb" and rec["rt_channels"] > best_rt:
-                    best_rt, best_c = rec["rt_channels"], rec["channels"]
+                if rec["path"] == "pfb":
+                    if rec.get("realtime") and rec["channels"] > best_rt:
+                        best_rt, best_c = float(rec["channels"]), rec["channels"]
+                    best_tp = max(best_tp, rec["rt_channels"])
             elif rec.get("kind") == "error":
                 report[rec["key"] + "_error"] = rec["error"]
     except OSError:
         pass
+    if best_rt == 0.0 and best_tp > 0.0:
+        best_rt = best_tp
+        report["note_headline"] = "no config fit the block budget; value is throughput-normalized"
     if not done:
         report["note"] = f"deadline {DEADLINE_S}s hit; partial results"
     try:

@@ -12,15 +12,13 @@ through
 
 writing back only the demodulated audio plus the tiny carries.
 
-**Measured verdict (v5e): scale-dependent.** At C=1024 (nd=10240) the
-fused kernel runs 2.18 ms/iter vs 1.51 ms for the unfused XLA chain —
-XLA's wide whole-array fusions amortize VPU op overhead better than this
-kernel's [1088, 128] tiles at small channel counts. At C=16384 the
-kernel wins 32.5 vs 42.1 ms: the XLA chain's halo-as-second-matmul FIR
-pays an extra full write+read of the [nd, C] planes that no longer fits
-in any cache, while this kernel's single HBM round-trip dominates.
-``channelized_step`` therefore auto-selects it above
-``PALLAS_TM_AUTO_THRESHOLD`` channels (pipeline/channelized.py).
+**Measured verdict (v5e): the kernel wins from C=512 up.** With the
+factored-phasor LO and sub-tiled audio FIR, the full channelized step is
+a dead heat at C=512 (1.96 vs 1.99 ms/block), 36% faster at 1024 and
+3.3x at 8192 (7.56 vs 24.94): the XLA chain's halo-as-second-matmul FIR
+pays an extra full write+read of the [nd, C] planes, while this kernel's
+single HBM round-trip dominates. ``channelized_step`` auto-selects it
+above ``PALLAS_TM_AUTO_THRESHOLD`` channels (pipeline/channelized.py).
 Raising CHAN_TILE past 128 exceeds VMEM with these slab sizes.
 
 Semantics are identical to the unfused ops (bit-near; float32 everywhere):

@@ -276,10 +276,11 @@ def grow_channelized_state(
 
 
 #: channel count at which "auto" switches the time-major tail to the
-#: fused Pallas kernel. Measured full-step crossover on one v5e chip:
-#: XLA wins below C=1024, dead heat at 1024, the kernel wins 12% at 2048
-#: and 13% at 16384 (44.2 vs 50.0 ms/block)
-PALLAS_TM_AUTO_THRESHOLD = 2048
+#: fused Pallas kernel. Measured full-step crossover on one v5e chip
+#: (after the factored-phasor LO + sub-tiled audio FIR): dead heat at
+#: C=512 (1.96 vs 1.99 ms/block), the kernel wins 36% at 1024 (2.24 vs
+#: 3.49) and 3.3x at 8192 (7.56 vs 24.94)
+PALLAS_TM_AUTO_THRESHOLD = 512
 
 
 def _use_pallas_tm(cfg: ChannelizedConfig, nd: int, params) -> bool:
