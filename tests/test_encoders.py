@@ -111,3 +111,18 @@ def test_wav_roundtrip_amplitude():
     enc = encoders.WavEncoder(sr)
     pcm = np.frombuffer(enc.encode(x), dtype="<i2").astype(np.float32) / 32767.0
     assert abs(np.abs(pcm).max() - 0.5) < 1e-3
+
+
+def test_mp3_close_flushes_final_frame():
+    """close() drains LAME's final partial frame (the reference never
+    flushes — fine for infinite live streams, wrong for finite
+    recordings)."""
+    enc = encoders.Mp3Encoder(48_000)
+    t = np.arange(480, dtype=np.float32) / 48_000
+    sine = (0.25 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32)
+    body = enc.encode(sine)  # far less than one MP3 frame: stays buffered
+    tail = enc.close()
+    assert tail, "flush produced no bytes for a buffered partial frame"
+    assert enc.close() == b""  # idempotent
+    decoded = _hip_decode(body + tail)
+    assert decoded.size > 0, "flushed stream did not decode"

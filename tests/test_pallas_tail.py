@@ -59,7 +59,7 @@ def test_matches_unfused_chain_across_blocks():
     prev = jnp.zeros((2, C), jnp.float32)
     got = []
     for b in blocks:
-        audio, raw_hist, prev = fused_receiver_tail(
+        audio, raw_hist, prev, _ = fused_receiver_tail(
             b, phase, step, coeff, mode, raw_hist, prev, interpret=True
         )
         phase = ops.nco_advance(phase, step, b.shape[-1])
@@ -77,15 +77,15 @@ def test_block_size_invariance():
     hist0 = jnp.zeros((2, C, K - 1), jnp.float32)
     prev0 = jnp.zeros((2, C), jnp.float32)
 
-    full, fh, fp = fused_receiver_tail(
+    full, fh, fp, _ = fused_receiver_tail(
         x, phase0, step, coeff, mode, hist0, prev0, interpret=True
     )
     half = ND // 2
-    a1, h1, p1 = fused_receiver_tail(
+    a1, h1, p1, _ = fused_receiver_tail(
         x[:, :, :half], phase0, step, coeff, mode, hist0, prev0,
         interpret=True,
     )
-    a2, h2, p2 = fused_receiver_tail(
+    a2, h2, p2, _ = fused_receiver_tail(
         x[:, :, half:], ops.nco_advance(phase0, step, half), step, coeff,
         mode, h1, p1, interpret=True,
     )

@@ -32,20 +32,26 @@ def test_matches_unfused_chain(rng):
         x2, w, 1, jnp.concatenate([hi, hq], axis=1))
     ref_audio, ref_prev = ops.demodulate_tm(y2[:, :c], y2[:, c:], mode, prev)
 
-    audio, nhi, nhq, nprev = fused_tail_tm(
+    audio, nhi, nhq, nprev, power = fused_tail_tm(
         ci, cq, p0, st, w, mode, hi, hq, prev)
 
     # packed mode addresses the [nd, 2C] product in place — bit-identical
     y2in = jnp.concatenate([ci, cq], axis=1)
-    p_audio, p_nhi, p_nhq, p_nprev = fused_tail_tm(
+    p_audio, p_nhi, p_nhq, p_nprev, p_power = fused_tail_tm(
         y2in, y2in, p0, st, w, mode, hi, hq, prev, packed=True)
     np.testing.assert_array_equal(np.asarray(p_audio), np.asarray(audio))
     np.testing.assert_array_equal(np.asarray(p_nhi), np.asarray(nhi))
     np.testing.assert_array_equal(np.asarray(p_nhq), np.asarray(nhq))
     np.testing.assert_array_equal(np.asarray(p_nprev), np.asarray(nprev))
+    np.testing.assert_array_equal(np.asarray(p_power), np.asarray(power))
 
     np.testing.assert_allclose(np.asarray(audio), np.asarray(ref_audio),
                                atol=3e-6)
+    # in-kernel squelch power == post-shaping-FIR mean |y|^2 (the unified
+    # cross-engine gate basis)
+    ref_power = jnp.mean(y2[:, :c] ** 2 + y2[:, c:] ** 2, axis=0)
+    np.testing.assert_allclose(np.asarray(power), np.asarray(ref_power),
+                               rtol=1e-5)
     # history carries are bit-identical (pure pass-through of mixed rows)
     np.testing.assert_allclose(np.asarray(nhi), np.asarray(nh2[:, :c]),
                                atol=0)
@@ -93,10 +99,12 @@ def test_audio_fused_matches_unfused_chain(rng):
 
         np.testing.assert_allclose(np.asarray(a48), np.asarray(a48_ref),
                                    atol=3e-6)
-        # in-kernel squelch power == the step's pre-mix plane mean
+        # in-kernel squelch power == post-shaping-FIR mean |y|^2 (the
+        # unified cross-engine gate basis)
         np.testing.assert_allclose(
             np.asarray(power),
-            np.asarray(jnp.mean(ci * ci + cq * cq, axis=0)), rtol=1e-5)
+            np.asarray(jnp.mean(y2[:, :c] ** 2 + y2[:, c:] ** 2, axis=0)),
+            rtol=1e-5)
         np.testing.assert_allclose(np.asarray(f_ahist), np.asarray(r_ahist),
                                    atol=3e-6)
         np.testing.assert_allclose(np.asarray(f_hi), np.asarray(r_hi), atol=0)
@@ -151,7 +159,7 @@ def test_fast_lo_matches_factored_chain(rng):
         x2, w, 1, jnp.concatenate([hi, hq], axis=1))
     ref_audio, ref_prev = ops.demodulate_tm(y2[:, :c], y2[:, c:], mode, prev)
 
-    audio, nhi, nhq, nprev = fused_tail_tm(
+    audio, nhi, nhq, nprev, _ = fused_tail_tm(
         ci, cq, p0, st, w, mode, hi, hq, prev, fast=True)
 
     np.testing.assert_allclose(np.asarray(audio), np.asarray(ref_audio),

@@ -200,3 +200,59 @@ def test_squelch_positive_threshold_and_disable(rng):
                                squelch_db=None)
     _, audio_off, _ = frontend_step(CFG, off, init_state(CFG), iq * 1e-3)
     assert float(np.abs(np.asarray(audio_off)).max()) > 0.0
+
+
+def test_squelch_gate_equivalent_across_engines(rng):
+    """One threshold, one signal: the direct and channelized engines (and
+    the channelized per-channel fallback path) make the same gate
+    decision. All engines gate on POST-shaping-FIR power — the unified
+    basis — so the `auto` engine flip at 16 channels can never change
+    which receivers are muted."""
+    from webradio_tpu.pipeline.channelized import (
+        ChannelizedConfig,
+        channelized_step,
+        init_channelized_state,
+        make_channelized_params,
+    )
+
+    fs, cr, ar, n = 1_024_000, 128_000, 32_000, 8_192
+    ifs = [-256_000, -128_000, 0, 128_000, 256_000, 384_000, -384_000,
+           32_000]
+    loud = [0, 2, 4, 7]
+    t = np.arange(n) / fs
+    z = np.zeros(n, np.complex128)
+    for ch in loud:
+        z += np.exp(2j * np.pi * ifs[ch] * t)
+    z += 1e-4 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    iq = jnp.asarray(np.stack([z.real, z.imag]).astype(np.float32))
+
+    thresh = -30.0
+    expected = np.zeros(8, bool)
+    expected[loud] = True
+
+    cfg_d = ChainConfig(sample_rate=fs, channel_rate=cr, audio_rate=ar,
+                        block_frames=n, num_channels=8)
+    p_d = make_receiver_params(cfg_d, ifs, 80_000, 8_000, "FM",
+                               squelch_db=thresh)
+    _, audio_d, _ = frontend_step(cfg_d, p_d, init_state(cfg_d), iq)
+    gate_d = np.abs(np.asarray(audio_d)).max(axis=-1) > 0
+    np.testing.assert_array_equal(gate_d, expected)
+
+    ccfg = ChannelizedConfig(sample_rate=fs, channel_rate=cr,
+                             audio_rate=ar, block_frames=n, num_channels=8)
+    p_c = make_channelized_params(ccfg, ifs, 80_000, 8_000, "FM",
+                                  squelch_db=thresh)
+    _, audio_c, _ = channelized_step(ccfg, p_c,
+                                     init_channelized_state(ccfg), iq)
+    gate_c = np.abs(np.asarray(audio_c)).max(axis=-1) > 0
+    np.testing.assert_array_equal(gate_c, expected)
+
+    # a divergent per-channel bandwidth drops the shared Toeplitz weights
+    # and flips the channelized step onto its per-channel fallback path —
+    # the gate basis (post-FIR power) must not change with it
+    p_c2 = make_channelized_params(
+        ccfg, ifs, [80_000] * 7 + [60_000], 8_000, "FM", squelch_db=thresh)
+    _, audio_c2, _ = channelized_step(ccfg, p_c2,
+                                      init_channelized_state(ccfg), iq)
+    gate_c2 = np.abs(np.asarray(audio_c2)).max(axis=-1) > 0
+    np.testing.assert_array_equal(gate_c2, expected)

@@ -205,6 +205,39 @@ def test_receiver_get_and_put(app):
     assert status == 400
 
 
+def test_receiver_put_invalid_leaves_state_unchanged(app):
+    """Validate-then-apply: a PUT mixing valid fields with an invalid one
+    400s and changes NOTHING (the reference applies fields as it parses,
+    receiverhandler.cxx:125-140 — a half-applied 400 here would desync
+    the UI)."""
+    _, _, data = request(app, "GET", "/receivers")
+    uri = json.loads(data)[0]["uri"]
+    _, _, data = request(app, "GET", uri)
+    before = json.loads(data)
+
+    # bad demodulator alongside otherwise-valid updates
+    status, _, _ = request(app, "PUT", uri,
+                           {"if_frequency": before["if_frequency"] + 1000,
+                            "af_gain": 6, "demodulator": "CHIRP"})
+    assert status == 400
+    _, _, data = request(app, "GET", uri)
+    assert json.loads(data) == before
+
+    # non-numeric numeric field
+    status, _, _ = request(app, "PUT", uri,
+                           {"if_frequency": "many", "af_gain": 6})
+    assert status == 400
+    _, _, data = request(app, "GET", uri)
+    assert json.loads(data) == before
+
+    # non-positive bandwidth
+    status, _, _ = request(app, "PUT", uri,
+                           {"if_bandwidth": -5, "demodulator": "FM"})
+    assert status == 400
+    _, _, data = request(app, "GET", uri)
+    assert json.loads(data) == before
+
+
 def test_receiver_squelch_null_semantics(app):
     """Squelch REST contract: absent = unchanged, a number (any sign)
     gates, JSON null disables (GET reports null)."""
@@ -496,14 +529,30 @@ def test_checkpoint_roundtrip(app, tmp_path):
 
     app.state_file = tmp_path / "state.json"
     app.front_ends[0].tuner.set_centre_frequency(102_500_000)
-    app.receivers[0].update(if_frequency=42_000, demodulator="USB")
+    app.receivers[0].update(if_frequency=42_000, demodulator="USB",
+                            af_gain=7, squelch_threshold=-42.5)
     app.checkpoint_if_changed()
     assert app.state_file.exists()
     saved = json.loads(app.state_file.read_text())
     merged = _merge_state(app.config, saved)
     assert merged["tuners"][0]["centre_frequency"] == 102_500_000
+    # the full receiver control state persists — a restart must restore a
+    # squelched receiver squelched (VERDICT r2 #7)
     rx = [r for r in merged["receivers"] if r["if_frequency"] == 42_000]
     assert rx and rx[0]["demodulator"] == "USB"
+    assert rx[0]["af_gain"] == 7
+    assert rx[0]["squelch_threshold"] == -42.5
+    # engine shape survives too (capacity may have grown live)
+    assert merged["tuners"][0]["capacity"] == len(app.front_ends[0]._slots)
+    assert merged["tuners"][0]["engine"] == app.front_ends[0].engine
+
+    # a JSON-null squelch (gate off) round-trips as null, not a default
+    app.receivers[0].update(squelch_threshold=None)
+    app.checkpoint_if_changed()
+    merged = _merge_state(app.config,
+                          json.loads(app.state_file.read_text()))
+    rx = [r for r in merged["receivers"] if r["if_frequency"] == 42_000]
+    assert rx[0]["squelch_threshold"] is None
     app.state_file = None
 
 

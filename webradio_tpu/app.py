@@ -79,7 +79,8 @@ def _merge_state(config: dict, saved: dict) -> dict:
     config = json.loads(json.dumps(config))
     for i, st in enumerate(saved.get("tuners", [])):
         if i < len(config.get("tuners", [])):
-            for key in ("centre_frequency", "agc", "rf_gain", "offset_ppm"):
+            for key in ("centre_frequency", "agc", "rf_gain", "offset_ppm",
+                        "engine", "capacity", "fir_precision"):
                 if key in st:
                     config["tuners"][i][key] = st[key]
     if saved.get("receivers"):
@@ -90,6 +91,10 @@ def _merge_state(config: dict, saved: dict) -> dict:
                 "if_bandwidth": r.get("if_bandwidth", 80_000),
                 "af_bandwidth": r.get("af_bandwidth", 8_000),
                 "demodulator": r.get("demodulator", "AM"),
+                "af_gain": r.get("af_gain", 0),
+                # None = gate disabled; a restart must restore a squelched
+                # receiver squelched (VERDICT r2 #7)
+                "squelch_threshold": r.get("squelch_threshold"),
             }
             for r in saved["receivers"]
         ]
@@ -134,6 +139,12 @@ class RadioApp:
                     "agc": t.agc,
                     "rf_gain": t.gain_db,
                     "offset_ppm": t.offset_ppm,
+                    # capacity may have grown live past the config value;
+                    # persist the served width so a restart compiles the
+                    # right batch immediately (engine/precision likewise)
+                    "engine": fe.engine,
+                    "capacity": len(fe._slots),
+                    "fir_precision": fe.fir_precision,
                 }
             )
         receivers = []
@@ -147,6 +158,8 @@ class RadioApp:
                     "if_bandwidth": rx.if_bandwidth,
                     "af_bandwidth": rx.af_bandwidth,
                     "demodulator": rx.demodulator,
+                    "af_gain": rx.af_gain,
+                    "squelch_threshold": rx.squelch_threshold,
                 }
             )
         return {"tuners": tuners, "receivers": receivers}
@@ -192,6 +205,8 @@ class RadioApp:
                 if_bandwidth=rcfg.get("if_bandwidth", 80_000),
                 af_bandwidth=rcfg.get("af_bandwidth", 8_000),
                 demodulator=rcfg.get("demodulator", "AM"),
+                af_gain=rcfg.get("af_gain", 0),
+                squelch_threshold=rcfg.get("squelch_threshold"),
             )
             rx.set_front_end(self.front_ends[rcfg.get("tuner", 0)])
             self.receivers.append(rx)

@@ -54,7 +54,7 @@ TIME_CHUNK = 1024  # lanes processed per in-kernel loop iteration
 def _tail_kernel(k_taps: int, nd: int,
                  xi_ref, xq_ref, phase0_ref, step_ref, wflip_ref, mode_ref,
                  prev_i_ref, prev_q_ref,
-                 audio_ref, nprev_i_ref, nprev_q_ref):
+                 audio_ref, nprev_i_ref, nprev_q_ref, power_ref):
     """Inputs are extended planes ``[8, nd + K]`` where lane ``l`` holds
     signal sample ``n = l - K`` (one zero lane, then the K-1 raw history
     samples, then the block)."""
@@ -126,9 +126,15 @@ def _tail_kernel(k_taps: int, nd: int,
         # last chunk's final shaped sample is the next block's FM prev
         nprev_i_ref[:] = cur_i[:, t - 1 :]
         nprev_q_ref[:] = cur_q[:, t - 1 :]
+        # squelch gate power: POST-shaping-FIR |y|^2 (the unified
+        # cross-engine basis); chunk 0 initializes the accumulator
+        psum = jnp.sum(cur_i * cur_i + cur_q * cur_q, axis=1,
+                       keepdims=True)
+        power_ref[:] = jnp.where(chunk == 0, psum, power_ref[:] + psum)
         return 0
 
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+    power_ref[:] = power_ref[:] * np.float32(1.0 / nd)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -155,7 +161,9 @@ def fused_receiver_tail(
         block (pre-mix; the kernel re-mixes it at negative sample indices).
       demod_prev: ``[2, C]`` float32 FM previous (shaped) sample.
 
-    Returns ``(audio [C, nd], new_raw_hist, new_demod_prev)``.
+    Returns ``(audio [C, nd], new_raw_hist, new_demod_prev, power [C])``
+    with ``power`` the block-mean post-shaping-FIR magnitude squared (the
+    unified squelch gate basis).
     """
     # the compiled kernel targets TPU; other backends (tests, CPU servers)
     # run the interpreter transparently
@@ -184,7 +192,7 @@ def fused_receiver_tail(
     chan_spec = lambda width: pl.BlockSpec(
         (CHAN_TILE, width), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    audio, npi, npq = pl.pallas_call(
+    audio, npi, npq, power = pl.pallas_call(
         functools.partial(_tail_kernel, k, nd),
         grid=(tiles,),
         in_specs=[
@@ -194,9 +202,11 @@ def fused_receiver_tail(
             chan_spec(1),
             chan_spec(1), chan_spec(1),
         ],
-        out_specs=(chan_spec(nd), chan_spec(1), chan_spec(1)),
+        out_specs=(chan_spec(nd), chan_spec(1), chan_spec(1),
+                   chan_spec(1)),
         out_shape=(
             jax.ShapeDtypeStruct((c, nd), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1), jnp.float32),
             jax.ShapeDtypeStruct((c, 1), jnp.float32),
             jax.ShapeDtypeStruct((c, 1), jnp.float32),
         ),
@@ -206,4 +216,4 @@ def fused_receiver_tail(
     )
     new_raw_hist = chan_in[:, :, nd - (k - 1):]
     new_prev = jnp.stack([npi[:, 0], npq[:, 0]])
-    return audio, new_raw_hist, new_prev
+    return audio, new_raw_hist, new_prev, power[:, 0]

@@ -158,8 +158,8 @@ def _tile_lo(fast, tg, row0, phase0, step, fine_s, fine_c):
 def _kernel(k_taps, fir_tile, nd, prec, fast,
             ci_ref, cq_ref, phase0_ref, step_ref, mode_ref, prev_ref,
             w_ref, hi0_ref, hq0_ref,
-            audio_ref, nprev_ref, histi_ref, histq_ref,
-            halo_i, halo_q, lag_ref, fine_s, fine_c):
+            audio_ref, nprev_ref, histi_ref, histq_ref, power_ref,
+            halo_i, halo_q, lag_ref, pacc_ref, fine_s, fine_c):
     k = k_taps
     t = fir_tile
     tg = TIME_TILE
@@ -185,6 +185,7 @@ def _kernel(k_taps, fir_tile, nd, prec, fast,
         # tile 0's left halo: the previous block's already-mixed tail
         halo_i[:] = hi0_ref[:]
         halo_q[:] = hq0_ref[:]
+        pacc_ref[:] = jnp.zeros_like(pacc_ref)
 
     mi = jnp.concatenate([halo_i[:], mi_d], axis=0)  # [tg + K - 1, C_tile]
     mq = jnp.concatenate([halo_q[:], mq_d], axis=0)
@@ -203,6 +204,12 @@ def _kernel(k_taps, fir_tile, nd, prec, fast,
         outs_q.append(_band_dot(wt, seg_q, prec))
     yi = jnp.concatenate(outs_i, axis=0)  # [tg, C_tile]
     yq = jnp.concatenate(outs_q, axis=0)
+
+    # squelch gate power: POST-shaping-FIR (in-band) magnitude squared —
+    # the same basis as the direct engine (pipeline/frontend.py passes the
+    # shaped planes to _apply_gain_squelch), so one threshold behaves
+    # identically across engines
+    pacc_ref[:] += jnp.sum(yi * yi + yq * yq, axis=0, keepdims=True)
 
     # ---- demod (AM/FM/USB/LSB), FM lag crosses tiles via scratch --------
     @pl.when(ti == 0)
@@ -235,6 +242,7 @@ def _kernel(k_taps, fir_tile, nd, prec, fast,
         nprev_ref[1, :] = yq[tg - 1, :]
         histi_ref[:] = mi_d[tg - (k - 1):, :]  # last K-1 mixed rows
         histq_ref[:] = mq_d[tg - (k - 1):, :]
+        power_ref[:] = pacc_ref[:] * np.float32(1.0 / nd)
 
 
 @functools.partial(
@@ -277,7 +285,10 @@ def fused_tail_tm(
         31-bit angle) instead of the reference's 16-bit table law; cuts
         the mixer's per-sample transcendentals ~50x (see _tile_lo).
 
-    Returns ``(audio [nd, C], new_hist_i, new_hist_q, new_demod_prev)``.
+    Returns ``(audio [nd, C], new_hist_i, new_hist_q, new_demod_prev,
+    power [C])`` — ``power`` is the block-mean POST-shaping-FIR magnitude
+    squared per channel (the squelch gate basis, unified with the direct
+    engine's post-FIR gate).
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
@@ -311,7 +322,7 @@ def fused_tail_tm(
     # packed planes: the Q columns live n_ct channel tiles to the right
     time_chan_q = (lambda i, j: (j, i + n_ct)) if packed else time_chan
 
-    audio, nprev, histi, histq = pl.pallas_call(
+    audio, nprev, histi, histq, power = pl.pallas_call(
         functools.partial(_kernel, k, t, nd, precision, fast),
         grid=grid,
         in_specs=[
@@ -343,17 +354,21 @@ def fused_tail_tm(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nd, c), jnp.float32),
             jax.ShapeDtypeStruct((2, c), jnp.float32),
             jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
             jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((k - 1, CHAN_TILE), jnp.float32),
             pltpu.VMEM((k - 1, CHAN_TILE), jnp.float32),
             pltpu.VMEM((2, CHAN_TILE), jnp.float32),
+            pltpu.VMEM((1, CHAN_TILE), jnp.float32),  # power accumulator
             pltpu.VMEM((FAST_LO_B, CHAN_TILE), jnp.float32),  # fine sin
             pltpu.VMEM((FAST_LO_B, CHAN_TILE), jnp.float32),  # fine cos
         ],
@@ -364,7 +379,7 @@ def fused_tail_tm(
         mode.astype(jnp.int32)[None, :], demod_prev,
         w_toep, chan_hist_i, chan_hist_q,
     )
-    return audio, histi, histq, nprev
+    return audio, histi, histq, nprev, power[0]
 
 
 # ---------------------------------------------------------------------------
@@ -389,8 +404,8 @@ def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec, fast,
     left halo each tile needs is carried tile-to-tile in the
     ``halo_i/halo_q`` scratch instead of materializing extended planes in
     HBM (which cost a full write+read of the [nd, C] planes per block).
-    The squelch power sum (mean |x|^2 of the pre-mix planes, see
-    channelized_step) accumulates in ``pacc_ref`` for the same reason."""
+    The squelch power sum (mean post-shaping-FIR |y|^2, the cross-engine
+    unified gate basis) accumulates in ``pacc_ref`` for the same reason."""
     k = k_taps
     t = fir_tile
     ti = pl.program_id(1)
@@ -415,8 +430,6 @@ def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec, fast,
         halo_q[:] = hq0_ref[:]
         pacc_ref[:] = jnp.zeros_like(pacc_ref)
 
-    pacc_ref[:] += jnp.sum(xi * xi + xq * xq, axis=0, keepdims=True)
-
     mi = jnp.concatenate([halo_i[:], mi_d], axis=0)  # [tg + K - 1, C_tile]
     mq = jnp.concatenate([halo_q[:], mq_d], axis=0)
     halo_i[:] = mi_d[tg - (k - 1):, :]
@@ -433,6 +446,9 @@ def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec, fast,
         outs_q.append(_band_dot(wt, seg_q, prec))
     yi = jnp.concatenate(outs_i, axis=0)  # [tg, C_tile]
     yq = jnp.concatenate(outs_q, axis=0)
+
+    # squelch power: POST-shaping-FIR basis, unified with the direct engine
+    pacc_ref[:] += jnp.sum(yi * yi + yq * yq, axis=0, keepdims=True)
 
     # ---- demod -----------------------------------------------------------
     @pl.when(ti == 0)
@@ -563,8 +579,9 @@ def fused_tail_audio_tm(
 
     Returns ``(audio48 [nd // decimation, C], new_hist_i, new_hist_q,
     new_demod_prev, new_audio_hist, power [C])`` where ``power`` is the
-    block-mean pre-mix magnitude-squared per channel (the squelch gate
-    signal) — computed in-kernel so the planes are read exactly once.
+    block-mean POST-shaping-FIR magnitude-squared per channel (the
+    squelch gate signal, unified with the direct engine's post-FIR
+    basis) — computed in-kernel so the planes are read exactly once.
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True

@@ -102,9 +102,10 @@ def _shard_body(cfg: ChannelizedConfig, t_shards: int, params, state, iq_local):
     new_audio_hist = _from_last(audio_hist_local, tidx, t_shards)
     from ..pipeline.frontend import _apply_gain_squelch
 
-    # whole-block gate power (pmean over the time axis): all shards of a
-    # channel gate identically, matching the single-chip step exactly
-    audio = _apply_gain_squelch(audio, chan_in, params.af_gain,
+    # whole-block gate power (pmean over the time axis) on the unified
+    # POST-shaping-FIR basis: all shards of a channel gate identically,
+    # matching the single-chip step exactly
+    audio = _apply_gain_squelch(audio, shaped, params.af_gain,
                                 params.squelch, axis_name="time")
 
     new_state = ChannelizedState(
@@ -221,14 +222,14 @@ def _shard_body_tm(cfg: ChannelizedConfig, t_shards: int, c_shards: int,
 
         fir_tile = params.chan_toep.shape[1]
         if _audio_time_tile(nd_local, cfg.audio_decim, fir_tile):
-            audio, _, _, _, _, _ = fused_tail_audio_tm(
+            audio, _, _, _, _, power = fused_tail_audio_tm(
                 ci, cq, phase_here, params.residual_step,
                 params.chan_toep, params.audio_toep, cfg.audio_decim,
                 params.mode, hist_i, hist_q, prev, audio_hist,
                 precision=prec, fast=cfg.fast_nco,
             )
         else:
-            audio_tm, _, _, _ = fused_tail_tm(
+            audio_tm, _, _, _, power = fused_tail_tm(
                 ci, cq, phase_here, params.residual_step,
                 params.chan_toep, params.mode, hist_i, hist_q, prev,
                 precision=prec, fast=cfg.fast_nco,
@@ -243,6 +244,8 @@ def _shard_body_tm(cfg: ChannelizedConfig, t_shards: int, c_shards: int,
         audio_tm, _ = ops.demodulate_tm(
             y2[:, :c_local], y2[:, c_local:], params.mode, prev
         )
+        pm = jnp.mean(y2 * y2, axis=0)
+        power = pm[:c_local] + pm[c_local:]
     if audio is None:
         audio, _ = ops.fir_decimate_toeplitz_tm(
             audio_tm, params.audio_toep, cfg.audio_decim, audio_hist,
@@ -250,12 +253,13 @@ def _shard_body_tm(cfg: ChannelizedConfig, t_shards: int, c_shards: int,
         )
     audio = audio.T  # [C_local, audio_frames_local]
 
-    # squelch gate from the WHOLE block's selected-bin power: a pmean over
-    # equal time shards is the block mean, so shards can never disagree
-    # and the gate decision matches the single-chip step
+    # squelch gate from the WHOLE block's POST-shaping-FIR power (the
+    # unified cross-engine basis): a pmean over equal time shards is the
+    # block mean, so shards can never disagree and the gate decision
+    # matches the single-chip step
     from ..pipeline.frontend import squelch_scale
 
-    power = lax.pmean(jnp.mean(ci * ci + cq * cq, axis=0), "time")
+    power = lax.pmean(power, "time")
     audio = audio * squelch_scale(power, params.af_gain,
                                   params.squelch)[:, None]
 

@@ -373,15 +373,13 @@ def channelized_step(
                 )
                 audio, audio_hist_tm = audio_tm48, ahist
             else:
-                audio_tm, hist_i, hist_q, demod_prev = fused_tail_tm(
+                audio_tm, hist_i, hist_q, demod_prev, power = fused_tail_tm(
                     ci, cq, state.nco_phase, params.residual_step,
                     params.chan_toep, params.mode,
                     state.chan_hist[0].T, state.chan_hist[1].T,
                     state.demod_prev, precision=prec, packed=True,
                     fast=cfg.fast_nco,
                 )
-                pm = jnp.mean(ci * ci, axis=0)  # [2C] packed plane power
-                power = pm[:c] + pm[c:]
             chan_hist_new = jnp.stack([hist_i.T, hist_q.T])
         else:
             mix_tm = ops.nco_mix_tm_fast if cfg.fast_nco else ops.nco_mix_tm
@@ -398,16 +396,18 @@ def channelized_step(
                 y2[:, :c], y2[:, c:], params.mode, state.demod_prev
             )
             chan_hist_new = jnp.stack([h2[:, :c].T, h2[:, c:].T])
+            pm = jnp.mean(y2 * y2, axis=0)  # [2C] post-FIR plane power
+            power = pm[:c] + pm[c:]
         if audio is None:
             audio, audio_hist_tm = ops.fir_decimate_toeplitz_tm(
                 audio_tm, params.audio_toep, cfg.audio_decim,
                 state.audio_hist.T, precision=prec,
             )
         audio = audio.T  # [C, audio_frames] — the host layout
-        # squelch gate power from the pre-mix selected bins (same signal
-        # the [2, C, nd] path uses); the fused kernel already accumulated it
-        if power is None:
-            power = jnp.mean(ci * ci + cq * cq, axis=0)  # [C]
+        # squelch gate power: POST-shaping-FIR (in-band) mean |y|^2, the
+        # same basis as the direct engine, so a threshold behaves
+        # identically across the auto engine flip (the fused kernels
+        # accumulate it in VMEM; the XLA path reads y2 directly)
         from .frontend import squelch_scale
 
         audio = audio * squelch_scale(power, params.af_gain,
@@ -429,7 +429,7 @@ def channelized_step(
         from ..ops.pallas_tail import fused_receiver_tail
 
         # chan_hist carries the RAW selected-bin tail in this mode
-        audio_if, chan_hist, demod_prev = fused_receiver_tail(
+        audio_if, chan_hist, demod_prev, power = fused_receiver_tail(
             chan_in, state.nco_phase, params.residual_step,
             params.chan_coeff, params.mode, state.chan_hist,
             state.demod_prev,
@@ -442,15 +442,17 @@ def channelized_step(
         audio_if, demod_prev = ops.demodulate(
             shaped, params.mode, state.demod_prev
         )
+        # unified squelch basis: post-shaping-FIR (in-band) power
+        power = jnp.mean(shaped[0] ** 2 + shaped[1] ** 2, axis=-1)  # [C]
 
     audio, audio_hist = ops.fir_dispatch(
         audio_if, params.audio_coeff, params.audio_toep, cfg.audio_decim,
         state.audio_hist,
     )
-    from .frontend import _apply_gain_squelch
+    from .frontend import squelch_scale
 
-    audio = _apply_gain_squelch(audio, chan_in, params.af_gain,
-                                params.squelch)
+    audio = audio * squelch_scale(power, params.af_gain,
+                                  params.squelch)[:, None]
 
     new_state = ChannelizedState(
         pfb_hist=pfb_hist,

@@ -124,24 +124,40 @@ class Receiver:
         ``squelch_threshold`` distinguishes "absent" (unchanged) from an
         explicit ``None`` (disable the gate) — pass nothing to leave it
         alone, ``None`` to turn squelch off, a dB value to gate.
+
+        Validate-then-apply: every field is checked BEFORE any mutation,
+        so a rejected write (bad demod mode, non-numeric field,
+        non-positive bandwidth) leaves the receiver exactly as it was and
+        the HTTP layer 400s without half-applying (unlike the reference's
+        field-at-a-time parse, receiverhandler.cxx:125-140).
         """
-        if if_frequency is not None:
-            self.if_frequency = int(if_frequency)
-        if if_bandwidth is not None:
-            self.if_bandwidth = int(if_bandwidth)
-        if af_bandwidth is not None:
-            self.af_bandwidth = int(af_bandwidth)
-        if af_gain is not None:
-            self.af_gain = int(af_gain)
-        if squelch_threshold is not UNSET:
-            self.squelch_threshold = (
-                None if squelch_threshold is None
-                else float(squelch_threshold)
-            )
+        staged = {}
+        try:
+            if if_frequency is not None:
+                staged["if_frequency"] = int(if_frequency)
+            if if_bandwidth is not None:
+                staged["if_bandwidth"] = int(if_bandwidth)
+            if af_bandwidth is not None:
+                staged["af_bandwidth"] = int(af_bandwidth)
+            if af_gain is not None:
+                staged["af_gain"] = int(af_gain)
+            if squelch_threshold is not UNSET:
+                staged["squelch_threshold"] = (
+                    None if squelch_threshold is None
+                    else float(squelch_threshold)
+                )
+        except (TypeError, ValueError):
+            return False
+        if staged.get("if_bandwidth", 1) <= 0:
+            return False
+        if staged.get("af_bandwidth", 1) <= 0:
+            return False
         if demodulator is not None:
             if demodulator not in MODES:
                 return False
-            self.demodulator = demodulator
+            staged["demodulator"] = demodulator
+        for field, value in staged.items():
+            setattr(self, field, value)
         if self.front_end:
             self.front_end.rebuild_params()
         return True

@@ -29,8 +29,9 @@ class AudioEncoder:
     def encode(self, samples: np.ndarray) -> bytes:
         raise NotImplementedError
 
-    def close(self) -> None:
-        pass
+    def close(self) -> bytes:
+        """Finish the stream; returns any final buffered bytes."""
+        return b""
 
 
 def _load_lame():
@@ -103,10 +104,19 @@ class Mp3Encoder(AudioEncoder):
             return b""
         return out.raw[:written]
 
-    def close(self) -> None:
-        if not self._closed:
-            self._closed = True
-            _LAME.lame_close(self._gf)
+    def close(self) -> bytes:
+        """Flush LAME's final partial frame, then free the encoder.
+
+        The reference never flushes (its streams are infinite); for
+        finite recordings the last frame would otherwise be lost.
+        """
+        if self._closed:
+            return b""
+        self._closed = True
+        out = ctypes.create_string_buffer(7200)
+        written = _LAME.lame_encode_flush(self._gf, out, len(out))
+        _LAME.lame_close(self._gf)
+        return out.raw[:written] if written > 0 else b""
 
 
 class WavEncoder(AudioEncoder):
