@@ -175,3 +175,62 @@ def test_sharded_engine_live():
     finally:
         a.close()
         AudioStreamManager.reset()
+
+
+def test_receiver_audio_sink_file_route(tmp_path):
+    """A receiver bound to a local audio sink (the topology's
+    `audio_sink` option — the reference's compiled-in-but-unrouted
+    PulseAudioSink seam) receives demodulated audio from the pump. The
+    file: variant exercises the binding headlessly; "pulse" degrades to
+    a warning when libpulse is absent."""
+    from webradio_tpu.app import RadioApp
+    from webradio_tpu.io.soundcard import pulse_available
+
+    Radio.reset()
+    AudioStreamManager.reset()
+    wav_path = tmp_path / "local_audio.wav"
+    config = {
+        "server": {"port": 0, "host": "127.0.0.1", "html": "html"},
+        "tuners": [
+            {
+                "driver": "tone",
+                "sample_rate": 256_000,
+                "channel_rate": 32_000,
+                "audio_rate": 8_000,
+                "block_frames": 8_192,
+                "capacity": 2,
+            }
+        ],
+        "receivers": [
+            {"tuner": 0, "if_frequency": 0, "demodulator": "AM",
+             "audio_sink": f"file:{wav_path}"},
+            # a pulse binding must never break startup on a server image
+            {"tuner": 0, "if_frequency": 0, "demodulator": "AM",
+             "audio_sink": "pulse"},
+        ],
+    }
+    a = RadioApp(config)
+    try:
+        assert a.start()
+        assert a.receivers[0].audio_sink is not None
+        if not pulse_available():
+            assert a.receivers[1].audio_sink is None  # warned, not fatal
+        deadline = time.time() + 60
+        while a.front_ends[0].block_count < 6 and time.time() < deadline:
+            time.sleep(0.05)
+        assert a.front_ends[0].block_count >= 6
+    finally:
+        a.close()
+        Radio.reset()
+        AudioStreamManager.reset()
+    # at least 2 blocks of 8 kHz audio landed in the file (the serving
+    # pipeline publishes one block behind), carrying the 1 kHz AM tone
+    data = wav_path.read_bytes()
+    assert len(data) > 44 + 2 * 2 * 256
+    pcm = np.frombuffer(data[44:44 + (len(data) - 44) // 2 * 2],
+                        dtype="<i2").astype(np.float32) / 32768
+    x = pcm - pcm.mean()
+    f = np.fft.rfftfreq(len(x), 1 / 8_000)
+    spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+    peak = f[np.argmax(spec)]
+    assert abs(peak - 1_000) < 50, f"expected 1 kHz tone, got {peak:.0f} Hz"

@@ -208,8 +208,43 @@ class RadioApp:
                 af_gain=rcfg.get("af_gain", 0),
                 squelch_threshold=rcfg.get("squelch_threshold"),
             )
+            sink_spec = rcfg.get("audio_sink")
+            if sink_spec:
+                rx.audio_sink = self._make_audio_sink(
+                    sink_spec,
+                    self.front_ends[rcfg.get("tuner", 0)].cfg.audio_rate,
+                )
             rx.set_front_end(self.front_ends[rcfg.get("tuner", 0)])
             self.receivers.append(rx)
+
+    @staticmethod
+    def _make_audio_sink(spec: str, audio_rate: int):
+        """Local audio binding for a receiver: ``"pulse"`` /
+        ``"pulse:<device>"`` plays on the soundcard via libpulse-simple
+        (the reference's compiled-in-but-unrouted PulseAudioSink,
+        src/io/pulseaudio.cxx:113-152); ``"file:<path>"`` streams WAV to
+        a path or FIFO. Missing libpulse degrades to a warning — server
+        images have no sound stack."""
+        from .io.soundcard import (
+            FileAudioSink,
+            PulseAudioSink,
+            pulse_available,
+        )
+
+        kind, _, arg = spec.partition(":")
+        if kind == "pulse":
+            if not pulse_available():
+                log.warning(
+                    "audio_sink %r ignored: libpulse-simple not available",
+                    spec,
+                )
+                return None
+            return PulseAudioSink(sample_rate=audio_rate,
+                                  device=arg or None)
+        if kind == "file" and arg:
+            return FileAudioSink(arg, sample_rate=audio_rate)
+        log.warning("unknown audio_sink %r ignored", spec)
+        return None
 
     # ---- routes (the 12 registrations of main.cxx:92-106) -------------
     def build_server(self) -> RadioHttpServer:

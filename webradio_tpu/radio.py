@@ -97,6 +97,12 @@ class Receiver:
         # writes use JSON null to disable.
         self.squelch_threshold = None
         self.demodulator = "AM"
+        # optional local audio binding (PulseAudioSink / FileAudioSink):
+        # the reference compiles PulseAudioSink in but never routes it
+        # (pulseaudio.cxx:113-152); here the topology config can bind it
+        # per receiver (app.py "audio_sink"). Written from the pump
+        # alongside the HTTP fan-out; a write failure unbinds with a log.
+        self.audio_sink = None
         self.front_end: "FrontEnd | None" = None
         Radio.receivers[self.uuid] = self
 
@@ -164,6 +170,13 @@ class Receiver:
 
     def close(self) -> None:
         self.set_front_end(None)
+        if self.audio_sink is not None:
+            try:
+                self.audio_sink.close()
+            except Exception:
+                log.debug("receiver %s: audio sink close failed", self.uuid,
+                          exc_info=True)
+            self.audio_sink = None
         Radio.receivers.pop(self.uuid, None)
 
 
@@ -711,6 +724,18 @@ class FrontEnd:
                     AudioStreamManager.publish(
                         rx.uuid, blk[i], self.cfg.audio_rate
                     )
+                    if rx.audio_sink is not None:
+                        # local soundcard/file binding; pa_simple_write
+                        # blocks on the hardware clock exactly like the
+                        # reference's in-graph sink (pulseaudio.cxx:143)
+                        try:
+                            rx.audio_sink.write(blk[i])
+                        except Exception:
+                            log.exception(
+                                "receiver %s: audio sink write failed; "
+                                "unbinding", rx.uuid,
+                            )
+                            rx.audio_sink = None
 
     # ---- readers (HTTP threads) ---------------------------------------
     def get_spectrum_db(self) -> np.ndarray:
