@@ -263,8 +263,102 @@ def main() -> None:
     )
 
 
+def soak(seconds: int = 30, capacity: int = 1024) -> int:
+    """Live-server soak on the real backend (VERDICT r2 #10).
+
+    Boots the full application — tone tuner at the reference's stock
+    rates (2.4 Msps, 42.7 ms blocks, main.cxx:74-75), channelized engine
+    at ``capacity`` receivers — pumps live for ``seconds``, then reads
+    ``GET /status`` over HTTP and prints ONE JSON line. Pass criteria
+    mirror the reference's real-time contract (capture overrun = data
+    drop, rtlsdrtuner.cxx:99-102): zero ring drops and a sampled
+    realtime_factor > 1.
+    """
+    import http.client
+    import logging
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s: %(message)s")
+    from webradio_tpu.app import RadioApp
+
+    config = {
+        "server": {"port": 0, "host": "127.0.0.1", "html": "html"},
+        "tuners": [
+            {
+                "driver": "tone",
+                "centre_frequency": 124_325_000,
+                "sample_rate": 2_400_000,
+                "block_frames": 102_400,
+                "capacity": capacity,
+                "engine": "channelized",
+            }
+        ],
+        "receivers": [
+            {"tuner": 0, "if_frequency": 100_000, "demodulator": "FM"}
+        ],
+    }
+    app = RadioApp(config)
+
+    def fetch_status():
+        conn = http.client.HTTPConnection("127.0.0.1", app.server.port,
+                                          timeout=30)
+        conn.request("GET", "/status", headers={"Host": "127.0.0.1"})
+        st = json.loads(conn.getresponse().read())
+        conn.close()
+        return next(iter(st["front_ends"].values()))
+
+    try:
+        if not app.start():
+            print(json.dumps({"metric": "soak", "ok": False,
+                              "error": "app failed to start"}))
+            return 1
+        # settle: the background warm-up compiles (param-structure
+        # variants, catch-up scan) intentionally overlap live serving;
+        # on a remote-compile backend they serialize with dispatch and
+        # can drop early blocks. The steady-state claim starts after
+        # they land.
+        settle = 15
+        time.sleep(settle)
+        base = fetch_status()
+        time.sleep(seconds)
+        fe = fetch_status()
+    finally:
+        app.close()
+    blocks = fe["blocks"] - base["blocks"]
+    dropped = fe["dropped_blocks"] - base["dropped_blocks"]
+    block_s = 102_400 / 2_400_000
+    expected = seconds / block_s
+    # real-time = the reference's contract: the paced source's every
+    # block got processed (zero overruns) at the source rate. The
+    # sampled latency (ns_per_frame) is reported but not gated on — it
+    # includes a full host-link round trip per sample, which on the dev
+    # tunnel is ~0.3 s and says nothing about device throughput.
+    ok = dropped == 0 and blocks >= 0.97 * expected
+    print(json.dumps({
+        "metric": "live_soak",
+        "ok": ok,
+        "seconds": seconds,
+        "settle_seconds": settle,
+        "capacity": capacity,
+        "engine": fe["engine"],
+        "blocks": blocks,
+        "blocks_expected": round(expected, 1),
+        "dropped_blocks": dropped,
+        "dropped_total_with_warmup": fe["dropped_blocks"],
+        "throughput_factor": fe.get("throughput_factor"),
+        "sampled_latency_ns_per_frame": fe["ns_per_frame"],
+        "last_dispatch_ms": fe["last_dispatch_ms"],
+    }))
+    return 0 if ok else 1
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--worker":
         worker(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--soak":
+        sys.exit(soak(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 30,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 1024,
+        ))
     else:
         main()

@@ -259,15 +259,22 @@ def test_tail_kernel_step_parity(rng):
     z = (rng.standard_normal(bf) + 1j * rng.standard_normal(bf)).astype(
         np.complex64
     )
+    cfg_f = ChannelizedConfig(**base, tail_kernel="pallas_pfb")
     s_x = init_channelized_state(cfg_x)
     s_p = init_channelized_state(cfg_p)
+    s_f = init_channelized_state(cfg_f)
     # two blocks so the mixed-domain history carry crosses the boundary
     for _ in range(2):
         s_x, a_x, _ = channelized_step(cfg_x, params, s_x, planes(z))
         s_p, a_p, _ = channelized_step(cfg_p, params, s_p, planes(z))
+        s_f, a_f, _ = channelized_step(cfg_f, params, s_f, planes(z))
     np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a_f), np.asarray(a_x), atol=1e-5)
     for f_x, f_p in zip(s_x, s_p):
         np.testing.assert_allclose(np.asarray(f_p), np.asarray(f_x),
+                                   atol=3e-6)
+    for f_x, f_f in zip(s_x, s_f):
+        np.testing.assert_allclose(np.asarray(f_f), np.asarray(f_x),
                                    atol=3e-6)
 
 

@@ -223,3 +223,109 @@ def test_fast_lo_audio_variant_carried_blocks(rng):
                                    atol=1e-6)
         np.testing.assert_allclose(np.asarray(f_ahist), np.asarray(r_ahist),
                                    atol=1e-5)
+
+
+def test_pfb_fused_matches_pfb_plus_tail(rng):
+    """fused_pfb_tail_audio_tm (filterbank matmul inside the kernel) ==
+    pfb_channelize_direct_tm + fused_tail_audio_tm, across two carried
+    blocks (filterbank history, mixed FIR tails, demod prev and audio
+    history all cross the boundary)."""
+    from webradio_tpu.ops.channelizer import (
+        bin_weights_for_channels,
+        design_prototype,
+        pfb_channelize_direct_tm,
+        pfb_frames_tm,
+    )
+    from webradio_tpu.ops.pallas_tail_tm import (
+        fused_pfb_tail_audio_tm,
+        fused_tail_audio_tm,
+    )
+
+    nbins, tpp = 8, 16
+    kp = nbins * tpp
+    c, k, d, nd = CHAN_TILE, 64, 5, 2560
+    n = nd * nbins
+    p0 = jnp.asarray(rng.integers(0, 2**31, c).astype(np.uint32))
+    st = jnp.asarray(rng.integers(0, 2**20, c).astype(np.uint32))
+    mode = jnp.asarray((np.arange(c) % 4).astype(np.int32))
+    proto = design_prototype(1_024_000, nbins, tpp)
+    bin_idx = (np.arange(c) % nbins).astype(np.int32)
+    w_pfb = jnp.asarray(bin_weights_for_channels(proto, nbins, bin_idx))
+    coeff = np.asarray(ops.design_lowpass_fir(60_000, 128_000))
+    w = jnp.asarray(ops.toeplitz_weights(coeff, 1, 128))
+    acoeff = np.asarray(ops.design_lowpass_fir(8_000, 128_000))
+    wa = jnp.asarray(ops.toeplitz_weights(acoeff, d, 32))
+
+    hi = jnp.asarray(rng.standard_normal((k - 1, c)).astype(np.float32))
+    hq = jnp.asarray(rng.standard_normal((k - 1, c)).astype(np.float32))
+    prev = jnp.asarray(rng.standard_normal((2, c)).astype(np.float32))
+    ahist = jnp.asarray(rng.standard_normal((k - 1, c)).astype(np.float32))
+    pfb_hist = jnp.zeros((2, kp - 1), jnp.float32)
+
+    f_state = (hi, hq, prev, ahist, pfb_hist)
+    r_state = (hi, hq, prev, ahist, pfb_hist)
+    phase = p0
+    from webradio_tpu.ops.nco import nco_advance
+    for _ in range(2):
+        x = jnp.asarray(rng.standard_normal((2, n)).astype(np.float32))
+
+        ci, cq, r_pfb_hist = pfb_channelize_direct_tm(
+            x, w_pfb, nbins, r_state[4])
+        a_ref, r_hi, r_hq, r_prev, r_ahist, pw_ref = fused_tail_audio_tm(
+            ci, cq, phase, st, w, wa, d, mode,
+            r_state[0], r_state[1], r_state[2], r_state[3])
+        r_state = (r_hi, r_hq, r_prev, r_ahist, r_pfb_hist)
+
+        frames, f_pfb_hist = pfb_frames_tm(x, kp, nbins, f_state[4])
+        a48, f_hi, f_hq, f_prev, f_ahist, pw = fused_pfb_tail_audio_tm(
+            frames, w_pfb.reshape(2 * kp, 2 * c), phase, st, w, wa, d,
+            mode, f_state[0], f_state[1], f_state[2], f_state[3])
+        f_state = (f_hi, f_hq, f_prev, f_ahist, f_pfb_hist)
+        phase = nco_advance(phase, st, nd)
+
+        np.testing.assert_allclose(np.asarray(a48), np.asarray(a_ref),
+                                   atol=3e-5)
+        np.testing.assert_allclose(np.asarray(pw), np.asarray(pw_ref),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(f_hi), np.asarray(r_hi),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(f_hq), np.asarray(r_hq),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(f_ahist),
+                                   np.asarray(r_ahist), atol=3e-5)
+        np.testing.assert_array_equal(np.asarray(f_pfb_hist),
+                                      np.asarray(r_pfb_hist))
+
+
+def test_uniform_mode_tiles_match_mixed_path(rng):
+    """Per-channel demod selection is lane-independent: a tile whose
+    receivers all share one mode must produce exactly what those lanes
+    produce inside a mixed-mode tile, for every law. (Also the guard
+    test for any future uniform-mode fast path: a scalar-prefetch
+    branchy variant was tried and MEASURED SLOWER on v5e — see
+    BASELINE.md r3 — so the kernel deliberately keeps the straight-line
+    four-law select.)"""
+    nd, c, k = TIME_TILE, CHAN_TILE, 64
+    ci = jnp.asarray(rng.standard_normal((nd, c)).astype(np.float32))
+    cq = jnp.asarray(rng.standard_normal((nd, c)).astype(np.float32))
+    p0 = jnp.asarray(rng.integers(0, 2**31, c).astype(np.uint32))
+    st = jnp.asarray(rng.integers(0, 2**31, c).astype(np.uint32))
+    hi = jnp.asarray(rng.standard_normal((k - 1, c)).astype(np.float32))
+    hq = jnp.asarray(rng.standard_normal((k - 1, c)).astype(np.float32))
+    prev = jnp.asarray(rng.standard_normal((2, c)).astype(np.float32))
+    coeff = np.asarray(ops.design_lowpass_fir(600_000, 2_400_000))
+    w = jnp.asarray(ops.toeplitz_weights(coeff, 1, 128))
+
+    # mixed tile (modes vary per lane -> the -1 fallback branch)
+    mixed = jnp.asarray((np.arange(c) % 4).astype(np.int32))
+    a_mixed, *_ = fused_tail_tm(ci, cq, p0, st, w, mixed, hi, hq, prev)
+    for m in range(4):
+        uni = jnp.full(c, m, jnp.int32)
+        a_uni, *_ = fused_tail_tm(ci, cq, p0, st, w, uni, hi, hq, prev)
+        lanes = np.arange(c) % 4 == m
+        # rounding-near, not bit-identical: the two branches compile to
+        # different FMA groupings of the same math
+        np.testing.assert_allclose(
+            np.asarray(a_uni)[:, lanes], np.asarray(a_mixed)[:, lanes],
+            atol=1e-6,
+        )

@@ -200,12 +200,13 @@ def bin_weights_for_channels(
     return b
 
 
-@functools.partial(jax.jit, static_argnames=("decimation",))
+@functools.partial(jax.jit, static_argnames=("decimation", "precision"))
 def pfb_channelize_direct(
     x: jax.Array,
     weights: jax.Array,
     decimation: int,
     history: jax.Array,
+    precision=None,
 ) -> tuple[jax.Array, jax.Array]:
     """Channelize straight to per-receiver streams: ``[2, N] -> [2, C, nd]``.
 
@@ -250,6 +251,7 @@ def pfb_channelize_direct(
         weights,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )  # [nd, 2, C]
 
     out = y.transpose(1, 2, 0)  # [2, C, nd]
@@ -257,13 +259,65 @@ def pfb_channelize_direct(
     return out, new_history
 
 
-@functools.partial(jax.jit, static_argnames=("decimation", "split"))
+@functools.partial(jax.jit, static_argnames=("kp", "decimation"))
+def pfb_frames_tm(
+    x: jax.Array,
+    kp: int,
+    decimation: int,
+    history: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Packed im2col frames ``[nd, 2 K_p]`` for the direct filterbank.
+
+    Row ``m`` holds the ``K_p`` delayed I samples then the ``K_p`` delayed
+    Q samples feeding output sample ``m`` — the left operand of the
+    ``[nd, 2 K_p] x [2 K_p, 2 C]`` filterbank product
+    (:func:`pfb_channelize_direct_tm`). Exposed separately so the fused
+    Pallas tail can consume frame tiles directly and evaluate the
+    filterbank matmul in VMEM (the packed product — 2.7 GB per block at
+    C=32768 — then never exists in HBM).
+
+    Returns ``(frames [nd, 2 K_p], new_history [2, K_p - 1])``.
+    """
+    d = int(decimation)
+    n = x.shape[-1]
+    if n % d:
+        raise ValueError("block length must be a multiple of the decimation")
+    nd = n // d
+
+    xext = jnp.concatenate([history, x], axis=-1)  # [2, N + K_p - 1]
+    # Phase decomposition: one strided relayout instead of K_p lane-strided
+    # slices (which are pathologically slow on TPU — see fir.py). With
+    # phases[., p, i] = xext[., i*d + p], tap k's frame
+    # F[., m, k] = xext[., (K_p-1-k) + m*d] is the contiguous slice
+    # phases[., p, q:q+nd] where q*d + p = K_p-1-k.
+    pad = (-xext.shape[-1]) % d
+    xp = jnp.pad(xext, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    l = xp.shape[-1]
+    phases = jnp.swapaxes(xp.reshape(x.shape[:-1] + (l // d, d)), -1, -2)
+    frames = []
+    for k in range(kp):
+        q, p = divmod(kp - 1 - k, d)
+        frames.append(
+            lax.slice_in_dim(
+                lax.index_in_dim(phases, p, axis=-2, keepdims=False),
+                q, q + nd, axis=-1,
+            )
+        )
+    f = jnp.stack(frames, axis=-1)  # [2, nd, K_p]
+    f2 = jnp.concatenate([f[0], f[1]], axis=-1)  # [nd, 2 K_p]
+    new_history = x[..., n - (kp - 1):]
+    return f2, new_history
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("decimation", "split", "precision"))
 def pfb_channelize_direct_tm(
     x: jax.Array,
     weights: jax.Array,
     decimation: int,
     history: jax.Array,
     split: bool = True,
+    precision=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Time-major variant of :func:`pfb_channelize_direct`:
     ``[2, N] -> (i [nd, C], q [nd, C], new_history)``.
@@ -281,39 +335,18 @@ def pfb_channelize_direct_tm(
     two dense column-slice copies XLA must otherwise materialize before a
     custom call (a full write+read of the planes per block at large C).
     """
-    d = int(decimation)
     kp = weights.shape[0] // 2
     c = weights.shape[-1]
-    n = x.shape[-1]
-    if n % d:
-        raise ValueError("block length must be a multiple of the decimation")
-    nd = n // d
-
-    xext = jnp.concatenate([history, x], axis=-1)
-    pad = (-xext.shape[-1]) % d
-    xp = jnp.pad(xext, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-    l = xp.shape[-1]
-    phases = jnp.swapaxes(xp.reshape(x.shape[:-1] + (l // d, d)), -1, -2)
-    frames = []
-    for k in range(kp):
-        q, p = divmod(kp - 1 - k, d)
-        frames.append(
-            lax.slice_in_dim(
-                lax.index_in_dim(phases, p, axis=-2, keepdims=False),
-                q, q + nd, axis=-1,
-            )
-        )
-    f = jnp.stack(frames, axis=-1)  # [2, nd, K_p]
-    f2 = jnp.concatenate([f[0], f[1]], axis=-1)  # [nd, 2 K_p]
+    f2, new_history = pfb_frames_tm(x, kp, decimation, history)
 
     y = jax.lax.dot_general(
         f2,
         weights.reshape(weights.shape[0], 2 * c),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )  # [nd, 2C]: columns [:C] = mixed I, [C:] = mixed Q
 
-    new_history = x[..., n - (kp - 1):]
     if not split:
         return y, y, new_history
     return y[:, :c], y[:, c:], new_history

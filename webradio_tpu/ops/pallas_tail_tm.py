@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .nco import LOOKUP_BITS, LOOKUP_MASK, LOOKUP_SHIFT, PHASE_MASK
 from .trig import atan2
-from .demod import MODE_AM, MODE_FM, MODE_USB
+from .demod import MODE_AM, MODE_FM, MODE_LSB, MODE_USB
 
 _ANGLE_SCALE = np.float32(2.0 * np.pi / (1 << LOOKUP_BITS))
 _INV_2PI = np.float32(1.0 / (2.0 * np.pi))
@@ -219,6 +219,12 @@ def _kernel(k_taps, fir_tile, nd, prec, fast,
     lag_i = jnp.concatenate([lag_ref[0:1, :], yi[:-1, :]], axis=0)
     lag_q = jnp.concatenate([lag_ref[1:2, :], yq[:-1, :]], axis=0)
 
+    # all four laws + select: MEASURED faster than a per-tile uniform-mode
+    # scalar-prefetch branch (pl.when) writing a VMEM scratch — at
+    # C=32768/FM the branchy form cost +3.4 ms/block (register pressure +
+    # the scratch round-trip), while the straight-line select keeps the
+    # VPU pipeline full; the demod laws are NOT the kernel's bottleneck
+    # (USB and FM measure identical)
     am = jnp.sqrt(yi * yi + yq * yq)
     ii = yi * lag_i + yq * lag_q
     qq = yq * lag_i - yi * lag_q
@@ -316,11 +322,11 @@ def fused_tail_tm(
                          f"multiple of {FAST_LO_B}")
 
     grid = (c // CHAN_TILE, nd // TIME_TILE)
-    chan_cols = lambda i, j: (0, i)
-    time_chan = lambda i, j: (j, i)
+    chan_cols = lambda i, j, *_: (0, i)
+    time_chan = lambda i, j, *_: (j, i)
     n_ct = c // CHAN_TILE
     # packed planes: the Q columns live n_ct channel tiles to the right
-    time_chan_q = (lambda i, j: (j, i + n_ct)) if packed else time_chan
+    time_chan_q = (lambda i, j, *_: (j, i + n_ct)) if packed else time_chan
 
     audio, nprev, histi, histq, power = pl.pallas_call(
         functools.partial(_kernel, k, t, nd, precision, fast),
@@ -338,7 +344,7 @@ def fused_tail_tm(
                          memory_space=pltpu.VMEM),  # mode
             pl.BlockSpec((2, CHAN_TILE), chan_cols,
                          memory_space=pltpu.VMEM),  # demod_prev
-            pl.BlockSpec((span, t), lambda i, j: (0, 0),
+            pl.BlockSpec((span, t), lambda i, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),  # weights
             pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
                          memory_space=pltpu.VMEM),  # mixed hist I
@@ -357,13 +363,6 @@ def fused_tail_tm(
             pl.BlockSpec((1, CHAN_TILE), chan_cols,
                          memory_space=pltpu.VMEM),
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nd, c), jnp.float32),
-            jax.ShapeDtypeStruct((2, c), jnp.float32),
-            jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
-            jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
-        ),
         scratch_shapes=[
             pltpu.VMEM((k - 1, CHAN_TILE), jnp.float32),
             pltpu.VMEM((k - 1, CHAN_TILE), jnp.float32),
@@ -372,6 +371,13 @@ def fused_tail_tm(
             pltpu.VMEM((FAST_LO_B, CHAN_TILE), jnp.float32),  # fine sin
             pltpu.VMEM((FAST_LO_B, CHAN_TILE), jnp.float32),  # fine cos
         ],
+        out_shape=(
+            jax.ShapeDtypeStruct((nd, c), jnp.float32),
+            jax.ShapeDtypeStruct((2, c), jnp.float32),
+            jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ),
         interpret=interpret,
     )(
         ci_planes, cq_planes,
@@ -386,26 +392,29 @@ def fused_tail_tm(
 # audio-FIR-fused variant: mix + shaping FIR + demod + decimating audio FIR
 # ---------------------------------------------------------------------------
 
-def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec, fast,
-                  ci_ref, cq_ref, phase0_ref, step_ref, mode_ref,
-                  prev_ref, w_ref, wa_ref, ahist0_ref, hi0_ref, hq0_ref,
-                  audio_ref, nprev_ref, histi_ref, histq_ref, ahist_ref,
-                  power_ref,
-                  halo_i, halo_q, lag_ref, atail_ref, pacc_ref,
-                  fine_s, fine_c):
+def _audio_tail_core(k_taps, fir_tile, d, tg, nd, prec, fast, xi, xq,
+                     phase0_ref, step_ref, mode_ref,
+                     prev_ref, w_ref, wa_ref, ahist0_ref, hi0_ref, hq0_ref,
+                     audio_ref, nprev_ref, histi_ref, histq_ref, ahist_ref,
+                     power_ref,
+                     halo_i, halo_q, lag_ref, atail_ref, pacc_ref,
+                     fine_s, fine_c):
     """One (chan, time) program: the :func:`_kernel` chain plus the
     decimating audio FIR, so the channel-rate audio plane never touches
     HBM. The audio-domain cross-tile carry (last K rows of each tile's
     audio) rides the ``atail_ref`` VMEM scratch, sequential over the
-    innermost time grid exactly like the FM ``lag_ref``.
+    innermost time grid exactly like the FM ``lag_ref``. ``xi``/``xq``
+    are the selected-bin VALUES for this tile — loaded from plane tiles
+    (:func:`_kernel_audio`) or produced by the in-VMEM filterbank matmul
+    (:func:`_kernel_pfb_audio`).
 
-    Unlike :func:`_kernel`, the inputs are plain BlockSpec tiles of the
-    RAW planes (Pallas double-buffers the fetches): the K-1-row mixed
-    left halo each tile needs is carried tile-to-tile in the
-    ``halo_i/halo_q`` scratch instead of materializing extended planes in
-    HBM (which cost a full write+read of the [nd, C] planes per block).
-    The squelch power sum (mean post-shaping-FIR |y|^2, the cross-engine
-    unified gate basis) accumulates in ``pacc_ref`` for the same reason."""
+    The inputs are plain BlockSpec tiles (Pallas double-buffers the
+    fetches): the K-1-row mixed left halo each tile needs is carried
+    tile-to-tile in the ``halo_i/halo_q`` scratch instead of
+    materializing extended planes in HBM (which cost a full write+read
+    of the [nd, C] planes per block). The squelch power sum (mean
+    post-shaping-FIR |y|^2, the cross-engine unified gate basis)
+    accumulates in ``pacc_ref`` for the same reason."""
     k = k_taps
     t = fir_tile
     ti = pl.program_id(1)
@@ -418,8 +427,6 @@ def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec, fast,
     phase0 = phase0_ref[0, :]
     step = step_ref[0, :]
     s, c = _tile_lo(fast, tg, row0, phase0, step, fine_s, fine_c)
-    xi = ci_ref[:]
-    xq = cq_ref[:]
     mi_d = xi * c + xq * s
     mq_d = xq * c - xi * s
 
@@ -459,10 +466,16 @@ def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec, fast,
     lag_i = jnp.concatenate([lag_ref[0:1, :], yi[:-1, :]], axis=0)
     lag_q = jnp.concatenate([lag_ref[1:2, :], yq[:-1, :]], axis=0)
 
+    # all four laws + select: MEASURED faster than a per-tile uniform-mode
+    # scalar-prefetch branch (pl.when) writing a VMEM scratch — at
+    # C=32768/FM the branchy form cost +3.4 ms/block (register pressure +
+    # the scratch round-trip), while the straight-line select keeps the
+    # VPU pipeline full; the demod laws are NOT the kernel's bottleneck
+    # (USB and FM measure identical)
     am = jnp.sqrt(yi * yi + yq * yq)
     ii = yi * lag_i + yq * lag_q
     qq = yq * lag_i - yi * lag_q
-    fm = atan2(ii, qq) * _INV_2PI
+    fm = atan2(ii, qq) * _INV_2PI  # reference arg order
     usb = yi + yq
     lsb = yi - yq
     mode = mode_ref[0, :]
@@ -504,6 +517,35 @@ def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec, fast,
         histq_ref[:] = mq_d[tg - (k - 1):, :]
         ahist_ref[:] = audio[tg - (k - 1):, :]
         power_ref[:] = pacc_ref[:] * np.float32(1.0 / nd)
+
+
+def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec, fast,
+                  ci_ref, cq_ref, *rest):
+    """Plane-fed audio tail: selected-bin tiles arrive as inputs."""
+    _audio_tail_core(k_taps, fir_tile, d, tg, nd, prec, fast,
+                     ci_ref[:], cq_ref[:], *rest)
+
+
+def _kernel_pfb_audio(k_taps, fir_tile, d, tg, nd, prec, fast, pfb_prec,
+                      fr_ref, wi_ref, wq_ref, *rest):
+    """Filterbank-fused audio tail: the selected-bin values are produced
+    HERE by the polyphase filterbank matmul on the im2col frame tile, so
+    the packed ``[nd, 2C]`` product — the single largest HBM tenant of
+    the channelized step (5.4 GB of write+read per 42.7 ms block at
+    C=32768) — never exists in HBM. Inputs per tile: the shared frame
+    rows ``[tg, 2 K_p]`` (~1.6 MB, pipelined per time step) and this
+    channel tile's weight columns (fetched once per channel tile — the
+    time grid is innermost, so the unchanged index map skips the DMA).
+
+    ``pfb_prec`` sets the filterbank dot's MXU pass count via
+    :func:`_band_dot` (HIGH = manual bf16x3, ~96 dB vs float32; DEFAULT
+    = one bf16 pass, ~51 dB) — the XLA filterbank matmul is given the
+    same precision, so fused and unfused paths stay aligned."""
+    fr = fr_ref[:]
+    xi = _band_dot(fr, wi_ref[:], pfb_prec)
+    xq = _band_dot(fr, wq_ref[:], pfb_prec)
+    _audio_tail_core(k_taps, fir_tile, d, tg, nd, prec, fast, xi, xq,
+                     *rest)
 
 
 #: output-row sub-tile for the in-kernel decimating audio FIR (see
@@ -623,11 +665,11 @@ def fused_tail_audio_tm(
     )  # [span_sub, ta_sub]
 
     grid = (c // CHAN_TILE, nd // tg)
-    chan_cols = lambda i, j: (0, i)
-    time_chan = lambda i, j: (j, i)
+    chan_cols = lambda i, j, *_: (0, i)
+    time_chan = lambda i, j, *_: (j, i)
     n_ct = c // CHAN_TILE
     # packed planes: the Q columns live n_ct channel tiles to the right
-    time_chan_q = (lambda i, j: (j, i + n_ct)) if packed else time_chan
+    time_chan_q = (lambda i, j, *_: (j, i + n_ct)) if packed else time_chan
 
     audio48, nprev, histi, histq, ahist, power = pl.pallas_call(
         functools.partial(_kernel_audio, k, t, d, tg, nd, precision, fast),
@@ -645,9 +687,9 @@ def fused_tail_audio_tm(
                          memory_space=pltpu.VMEM),  # mode
             pl.BlockSpec((2, CHAN_TILE), chan_cols,
                          memory_space=pltpu.VMEM),  # demod_prev
-            pl.BlockSpec((span, t), lambda i, j: (0, 0),
+            pl.BlockSpec((span, t), lambda i, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),  # shaping weights
-            pl.BlockSpec((span_sub, ta_sub), lambda i, j: (0, 0),
+            pl.BlockSpec((span_sub, ta_sub), lambda i, j, *_: (0, 0),
                          memory_space=pltpu.VMEM),  # audio weights
             pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
                          memory_space=pltpu.VMEM),  # audio history carry
@@ -670,6 +712,15 @@ def fused_tail_audio_tm(
             pl.BlockSpec((1, CHAN_TILE), chan_cols,
                          memory_space=pltpu.VMEM),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((k - 1, CHAN_TILE), jnp.float32),
+            pltpu.VMEM((k - 1, CHAN_TILE), jnp.float32),
+            pltpu.VMEM((2, CHAN_TILE), jnp.float32),
+            pltpu.VMEM((k, CHAN_TILE), jnp.float32),
+            pltpu.VMEM((1, CHAN_TILE), jnp.float32),
+            pltpu.VMEM((FAST_LO_B, CHAN_TILE), jnp.float32),  # fine sin
+            pltpu.VMEM((FAST_LO_B, CHAN_TILE), jnp.float32),  # fine cos
+        ],
         out_shape=(
             jax.ShapeDtypeStruct((nd // d, c), jnp.float32),
             jax.ShapeDtypeStruct((2, c), jnp.float32),
@@ -677,6 +728,165 @@ def fused_tail_audio_tm(
             jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
             jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
             jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        ci_planes, cq_planes,
+        phase0[None, :], phase_step[None, :],
+        mode.astype(jnp.int32)[None, :], demod_prev,
+        w_toep, wa, audio_hist, chan_hist_i, chan_hist_q,
+    )
+    return audio48, histi, histq, nprev, ahist, power[0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("decimation", "interpret", "precision", "packed",
+                     "fast", "pfb_precision"),
+)
+def fused_pfb_tail_audio_tm(
+    frames: jax.Array,
+    pfb_weights: jax.Array,
+    phase0: jax.Array,
+    phase_step: jax.Array,
+    w_toep: jax.Array,
+    audio_toep: jax.Array,
+    decimation: int,
+    mode: jax.Array,
+    chan_hist_i: jax.Array,
+    chan_hist_q: jax.Array,
+    demod_prev: jax.Array,
+    audio_hist: jax.Array,
+    interpret: bool = False,
+    precision: lax.Precision = lax.Precision.HIGHEST,
+    packed: bool = True,  # signature parity; frames are inherently packed
+    fast: bool = False,
+    pfb_precision: lax.Precision = lax.Precision.DEFAULT,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """:func:`fused_tail_audio_tm` with the polyphase filterbank matmul
+    fused into the kernel's first pass.
+
+    The whole channelized receiver tail becomes ONE kernel::
+
+        im2col frame tile -> filterbank matmul -> residual NCO mix ->
+        shaping FIR -> demod -> decimating audio FIR
+
+    with only the 48 kHz audio, the carries, and the squelch power
+    leaving VMEM. HBM traffic per block drops from (write + read) of the
+    packed ``[nd, 2C]`` product — 5.4 GB at C=32768 — to
+    ``chan_tiles x`` re-reads of the small ``[nd, 2 K_p]`` frame tensor
+    (~13 MB x C/128 at stock rates) plus one pass over the weights.
+
+    Args vs :func:`fused_tail_audio_tm`:
+      frames: ``[nd, 2 K_p]`` float32 im2col frames
+        (:func:`webradio_tpu.ops.channelizer.pfb_frames_tm`).
+      pfb_weights: ``[2 K_p, 2 C]`` float32 packed filterbank weights
+        (``bin_weights_for_channels`` reshaped) — columns ``[:C]``
+        produce mixed I, ``[C:]`` mixed Q.
+      pfb_precision: the filterbank dot's precision. The channelized
+        step maps the ``fir_precision`` tiers onto it: "highest" ->
+        HIGH (manual bf16x3, filterbank ~96 dB vs float32), "high" ->
+        DEFAULT (one bf16 pass, ~51 dB — the rate the filterbank ran at
+        in every earlier round).
+
+    Returns ``(audio48 [nd // decimation, C], new_hist_i, new_hist_q,
+    new_demod_prev, new_audio_hist, power [C])`` exactly like
+    :func:`fused_tail_audio_tm`.
+    """
+    if not interpret and jax.default_backend() != "tpu":
+        interpret = True
+    if interpret and pfb_precision == lax.Precision.HIGH:
+        # CPU/interpret: the XLA filterbank matmul runs full float32
+        # (precision flags are TPU pass counts); skip the manual bf16x3
+        # split so both engines agree bit-near off-TPU
+        pfb_precision = lax.Precision.HIGHEST
+    nd, kp2 = frames.shape
+    c = pfb_weights.shape[-1] // 2
+    d = int(decimation)
+    span, t = w_toep.shape
+    k = span - t + 1
+    if pfb_weights.shape[0] != kp2:
+        raise ValueError("frames/weights contraction mismatch")
+    if c % CHAN_TILE:
+        raise ValueError(f"channels {c} must be a multiple of {CHAN_TILE}")
+    if chan_hist_i.shape[0] != k - 1 or audio_hist.shape[0] != k - 1:
+        raise ValueError("history length does not match the kernel")
+    tg = _audio_time_tile(nd, d, t)
+    if tg == 0:
+        raise ValueError(
+            f"no time tile divides nd={nd} for tile={t}, decim={d}"
+        )
+    if tg < k - 1:
+        raise ValueError(
+            f"time tile {tg} must cover the K-1={k - 1} halo rows"
+        )
+    if fast and tg % FAST_LO_B:
+        raise ValueError("fast LO requires the time tile to be a "
+                         f"multiple of {FAST_LO_B}")
+    t_a = tg // d
+    ta_sub = _audio_sub_tile(t_a)
+    span_sub = (ta_sub - 1) * d + k
+
+    rev = audio_toep[:k, 0]
+    wa = jnp.stack(
+        [jnp.pad(rev, (m * d, span_sub - m * d - k)) for m in range(ta_sub)],
+        axis=1,
+    )  # [span_sub, ta_sub]
+
+    grid = (c // CHAN_TILE, nd // tg)
+    chan_cols = lambda i, j, *_: (0, i)
+    time_chan = lambda i, j, *_: (j, i)
+    n_ct = c // CHAN_TILE
+
+    audio48, nprev, histi, histq, ahist, power = pl.pallas_call(
+        functools.partial(_kernel_pfb_audio, k, t, d, tg, nd, precision,
+                          fast, pfb_precision),
+        grid=grid,
+        in_specs=[
+            # shared frame rows for this time step (refetched per channel
+            # tile — the index map ignores i, so within one channel tile
+            # the fetch pipelines across the inner time grid)
+            pl.BlockSpec((tg, kp2), lambda i, j, *_: (j, 0),
+                         memory_space=pltpu.VMEM),
+            # this channel tile's I / Q weight columns of the SAME packed
+            # array; the maps ignore j, so the DMA runs once per channel
+            # tile and is reused across the whole inner time grid
+            pl.BlockSpec((kp2, CHAN_TILE), lambda i, j, *_: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp2, CHAN_TILE), lambda i, j, *_: (0, i + n_ct),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # phase0
+            pl.BlockSpec((1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # step
+            pl.BlockSpec((1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # mode
+            pl.BlockSpec((2, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # demod_prev
+            pl.BlockSpec((span, t), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),  # shaping weights
+            pl.BlockSpec((span_sub, ta_sub), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM),  # audio weights
+            pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # audio history carry
+            pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # mixed hist I
+            pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),  # mixed hist Q
+        ],
+        out_specs=(
+            pl.BlockSpec((t_a, CHAN_TILE), time_chan,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k - 1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CHAN_TILE), chan_cols,
+                         memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((k - 1, CHAN_TILE), jnp.float32),
@@ -687,9 +897,17 @@ def fused_tail_audio_tm(
             pltpu.VMEM((FAST_LO_B, CHAN_TILE), jnp.float32),  # fine sin
             pltpu.VMEM((FAST_LO_B, CHAN_TILE), jnp.float32),  # fine cos
         ],
+        out_shape=(
+            jax.ShapeDtypeStruct((nd // d, c), jnp.float32),
+            jax.ShapeDtypeStruct((2, c), jnp.float32),
+            jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((k - 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ),
         interpret=interpret,
     )(
-        ci_planes, cq_planes,
+        frames, pfb_weights, pfb_weights,
         phase0[None, :], phase_step[None, :],
         mode.astype(jnp.int32)[None, :], demod_prev,
         w_toep, wa, audio_hist, chan_hist_i, chan_hist_q,

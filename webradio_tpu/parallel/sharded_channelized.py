@@ -59,8 +59,11 @@ def _shard_body(cfg: ChannelizedConfig, t_shards: int, params, state, iq_local):
     iq_halo = lax.ppermute(iq_local[:, iq_local.shape[-1] - (kp - 1):],
                            "time", perm)
     pfb_hist = jnp.where(tidx == 0, state.pfb_hist, iq_halo)
+    from ..pipeline.channelized import _pfb_prec
+
     chan_in, pfb_hist_local = pfb_channelize_direct(
-        iq_local, params.pfb_weights, cfg.num_bins, pfb_hist
+        iq_local, params.pfb_weights, cfg.num_bins, pfb_hist,
+        precision=_pfb_prec(cfg),
     )  # [2, C_local, nd_local]
     new_pfb_hist = _from_last(pfb_hist_local, tidx, t_shards)
 
@@ -148,8 +151,11 @@ def _shard_body_tm(cfg: ChannelizedConfig, t_shards: int, c_shards: int,
     iq_halo = lax.ppermute(iq_local[:, iq_local.shape[-1] - (kp - 1):],
                            "time", perm)
     pfb_hist = jnp.where(tidx == 0, state.pfb_hist, iq_halo)
+    from ..pipeline.channelized import _pfb_prec
+
     ci, cq, pfb_hist_local = pfb_channelize_direct_tm(
-        iq_local, params.pfb_weights, cfg.num_bins, pfb_hist
+        iq_local, params.pfb_weights, cfg.num_bins, pfb_hist,
+        precision=_pfb_prec(cfg),
     )  # [nd_local, C_local]
     new_pfb_hist = _from_last(pfb_hist_local, tidx, t_shards)
 
@@ -460,7 +466,9 @@ class ShardedChannelizedFrontEnd:
         latest_db = ops.spectrum_db(spectra[:, spectra.shape[1] - 1, :])
         result = None
         if self._pending is not None:
-            result = jax.device_get(self._pending)
+            # on-device handoff; the web layer fetches spectrum/audio on
+            # demand (see FrontEndPipeline.process_host)
+            result = self._pending
         self._pending = (audio, latest_db)
         return result
 
@@ -475,7 +483,7 @@ class ShardedChannelizedFrontEnd:
     def flush(self):
         result = None
         if self._pending is not None:
-            result = jax.device_get(self._pending)
+            result = self._pending
             self._pending = None
         return result
 

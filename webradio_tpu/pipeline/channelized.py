@@ -75,15 +75,28 @@ class ChannelizedConfig:
     fir_precision: str = "highest"
     #: mix+shaping-FIR+demod implementation for the time-major path:
     #: "xla" (unfused ops; XLA fuses), "pallas" (ops/pallas_tail_tm.py
-    #: fused VMEM kernel), or "auto" — pallas once the channel batch is
-    #: large enough that the kernel's single HBM round-trip beats XLA's
-    #: wide fusions (see PALLAS_TM_AUTO_THRESHOLD for measured numbers).
+    #: fused VMEM kernel), "pallas_pfb" (the filterbank matmul fused into
+    #: the kernel too — measured SLOWER at the full-step level on v5e,
+    #: where the step is MXU/VPU-bound and XLA's separate matmul overlaps
+    #: its packed-product write with compute; kept as an opt-in for
+    #: bandwidth-starved parts), or "auto" — pallas once the channel
+    #: batch is large enough that the kernel's single HBM round-trip
+    #: beats XLA's wide fusions (see PALLAS_TM_AUTO_THRESHOLD).
     tail_kernel: str = "auto"
+    #: filterbank matmul precision: "default" (one bf16 MXU pass — the
+    #: arithmetic the filterbank has always run at; ~51 dB vs float32,
+    #: measured 2.8e-3 max rel err on v5e), "high" (bf16x3, ~96 dB), or
+    #: "highest" (bf16x6, float32-exact). Independent of fir_precision:
+    #: the FIR tiers define arithmetic parity with the direct engine,
+    #: while this knob sets the (reference-analog-free) filterbank's own
+    #: arithmetic accuracy.
+    pfb_precision: str = "default"
     #: FIR design law (see ChainConfig.fir_design)
     fir_design: str = "reference"
 
     _FIR_PRECISIONS = ("highest", "high")
-    _TAIL_KERNELS = ("auto", "xla", "pallas")
+    _TAIL_KERNELS = ("auto", "xla", "pallas", "pallas_pfb")
+    _PFB_PRECISIONS = ("default", "high", "highest")
 
     def __post_init__(self):
         if self.sample_rate % self.channel_rate:
@@ -103,6 +116,10 @@ class ChannelizedConfig:
         if self.tail_kernel not in self._TAIL_KERNELS:
             raise ValueError(
                 f"tail_kernel must be one of {self._TAIL_KERNELS}"
+            )
+        if self.pfb_precision not in self._PFB_PRECISIONS:
+            raise ValueError(
+                f"pfb_precision must be one of {self._PFB_PRECISIONS}"
             )
         if self.fir_design not in ("reference", "sinc"):
             raise ValueError("fir_design must be 'reference' or 'sinc'")
@@ -275,6 +292,20 @@ def grow_channelized_state(
     )
 
 
+def _pfb_prec(cfg: ChannelizedConfig):
+    """Filterbank matmul precision (cfg.pfb_precision -> lax.Precision).
+
+    Applied identically to the XLA matmul and the in-kernel fused dot,
+    so the "pallas_pfb" and packed paths stay numerically aligned."""
+    import jax as _jax
+
+    return {
+        "default": _jax.lax.Precision.DEFAULT,
+        "high": _jax.lax.Precision.HIGH,
+        "highest": _jax.lax.Precision.HIGHEST,
+    }[cfg.pfb_precision]
+
+
 #: channel count at which "auto" switches the time-major tail to the
 #: fused Pallas kernel. Measured full-step crossover on one v5e chip
 #: (after the factored-phasor LO + sub-tiled audio FIR): dead heat at
@@ -335,13 +366,6 @@ def channelized_step(
     if use_tm:
         c = cfg.num_channels
         use_pallas = _use_pallas_tm(cfg, nd, params)
-        # the Pallas tail addresses the packed [nd, 2C] filterbank product
-        # in place (BlockSpec column tiles), skipping the dense I/Q
-        # column-slice copies XLA materializes before a custom call
-        ci, cq, pfb_hist = pfb_channelize_direct_tm(
-            iq, params.pfb_weights, cfg.num_bins, state.pfb_hist,
-            split=not use_pallas,
-        )  # [nd, C] planes (or twice the packed [nd, 2C] product)
         prec = (
             jax.lax.Precision.HIGHEST
             if cfg.fir_precision == "highest"
@@ -352,15 +376,49 @@ def channelized_step(
         if use_pallas:
             from ..ops.pallas_tail_tm import (
                 _audio_time_tile,
+                fused_pfb_tail_audio_tm,
                 fused_tail_audio_tm,
                 fused_tail_tm,
             )
 
             fir_tile = params.chan_toep.shape[1]
-            if _audio_time_tile(nd, cfg.audio_decim, fir_tile):
-                # fully fused: the channel-rate audio plane never leaves
-                # VMEM; the kernel emits 48 kHz audio + all carries + the
-                # squelch power (so the planes are read exactly once)
+            if (cfg.tail_kernel == "pallas_pfb"
+                    and _audio_time_tile(nd, cfg.audio_decim, fir_tile)):
+                # fully fused INCLUDING the filterbank matmul: the kernel
+                # consumes the small im2col frame tensor and produces
+                # 48 kHz audio + all carries + the squelch power — the
+                # packed [nd, 2C] product (5.4 GB of HBM write+read per
+                # block at C=32768) never exists
+                from ..ops.channelizer import pfb_frames_tm
+
+                frames, pfb_hist = pfb_frames_tm(
+                    iq, cfg.proto_taps, cfg.num_bins, state.pfb_hist
+                )
+                audio_tm48, hist_i, hist_q, demod_prev, ahist, power = (
+                    fused_pfb_tail_audio_tm(
+                        frames,
+                        params.pfb_weights.reshape(2 * cfg.proto_taps,
+                                                   2 * c),
+                        state.nco_phase, params.residual_step,
+                        params.chan_toep, params.audio_toep,
+                        cfg.audio_decim, params.mode,
+                        state.chan_hist[0].T, state.chan_hist[1].T,
+                        state.demod_prev, state.audio_hist.T,
+                        precision=prec, fast=cfg.fast_nco,
+                        pfb_precision=_pfb_prec(cfg),
+                    )
+                )
+                audio, audio_hist_tm = audio_tm48, ahist
+            elif _audio_time_tile(nd, cfg.audio_decim, fir_tile):
+                # packed-product path: XLA's filterbank matmul (its
+                # product write overlaps MXU compute) + the audio-fused
+                # kernel addressing the [nd, 2C] product in place —
+                # measured faster than in-kernel filterbank fusion on
+                # v5e at every C (the step is compute-bound)
+                ci, cq, pfb_hist = pfb_channelize_direct_tm(
+                    iq, params.pfb_weights, cfg.num_bins, state.pfb_hist,
+                    split=False, precision=_pfb_prec(cfg),
+                )
                 audio_tm48, hist_i, hist_q, demod_prev, ahist, power = (
                     fused_tail_audio_tm(
                         ci, cq, state.nco_phase, params.residual_step,
@@ -373,6 +431,10 @@ def channelized_step(
                 )
                 audio, audio_hist_tm = audio_tm48, ahist
             else:
+                ci, cq, pfb_hist = pfb_channelize_direct_tm(
+                    iq, params.pfb_weights, cfg.num_bins, state.pfb_hist,
+                    split=False, precision=_pfb_prec(cfg),
+                )
                 audio_tm, hist_i, hist_q, demod_prev, power = fused_tail_tm(
                     ci, cq, state.nco_phase, params.residual_step,
                     params.chan_toep, params.mode,
@@ -382,6 +444,10 @@ def channelized_step(
                 )
             chan_hist_new = jnp.stack([hist_i.T, hist_q.T])
         else:
+            ci, cq, pfb_hist = pfb_channelize_direct_tm(
+                iq, params.pfb_weights, cfg.num_bins, state.pfb_hist,
+                precision=_pfb_prec(cfg),
+            )
             mix_tm = ops.nco_mix_tm_fast if cfg.fast_nco else ops.nco_mix_tm
             mi, mq = mix_tm(ci, cq, state.nco_phase, params.residual_step)
             # both planes through one banded matmul: stack on the lane axis
@@ -422,7 +488,8 @@ def channelized_step(
         return new_state, audio, spectra
 
     chan_in, pfb_hist = pfb_channelize_direct(
-        iq, params.pfb_weights, cfg.num_bins, state.pfb_hist
+        iq, params.pfb_weights, cfg.num_bins, state.pfb_hist,
+        precision=_pfb_prec(cfg),
     )  # [2, C, nd] — wideband stage is one MXU matmul
 
     if cfg.use_pallas_tail:
@@ -500,7 +567,16 @@ class ChannelizedPipeline:
         )
         result = None
         if self._pending is not None:
-            result = jax.device_get(self._pending)
+            # hand the previous block's outputs up STILL ON DEVICE: the
+            # web layer fetches the ~2 KB spectrum row at the UI's 5 Hz
+            # poll rate and only the audio rows that have consumers (the
+            # reference's zero-consumer no-op, audiostream.cxx:67-68,
+            # applied at the device->host boundary — at C=1024 the full
+            # audio block is ~8 MB per 42.7 ms, and on a high-latency
+            # host link even per-block scalar fetches break real time).
+            # Completion pacing comes from the sampled force_pending
+            # profiling fence and the paced capture source.
+            result = self._pending
         self._pending = (audio, latest_db)
         return result
 
@@ -516,7 +592,16 @@ class ChannelizedPipeline:
         )
         result = None
         if self._pending is not None:
-            result = jax.device_get(self._pending)
+            # hand the previous block's outputs up STILL ON DEVICE: the
+            # web layer fetches the ~2 KB spectrum row at the UI's 5 Hz
+            # poll rate and only the audio rows that have consumers (the
+            # reference's zero-consumer no-op, audiostream.cxx:67-68,
+            # applied at the device->host boundary — at C=1024 the full
+            # audio block is ~8 MB per 42.7 ms, and on a high-latency
+            # host link even per-block scalar fetches break real time).
+            # Completion pacing comes from the sampled force_pending
+            # profiling fence and the paced capture source.
+            result = self._pending
         self._pending = (audio, latest_db)
         return result
 
@@ -531,7 +616,7 @@ class ChannelizedPipeline:
     def flush(self):
         result = None
         if self._pending is not None:
-            result = jax.device_get(self._pending)
+            result = self._pending
             self._pending = None
         return result
 

@@ -172,7 +172,16 @@ class FrontEndPipeline:
         )  # async dispatch
         result = None
         if self._pending is not None:
-            result = jax.device_get(self._pending)
+            # hand the previous block's outputs up STILL ON DEVICE: the
+            # web layer fetches the ~2 KB spectrum row at the UI's 5 Hz
+            # poll rate and only the audio rows that have consumers (the
+            # reference's zero-consumer no-op, audiostream.cxx:67-68,
+            # applied at the device->host boundary — at C=1024 the full
+            # audio block is ~8 MB per 42.7 ms, and on a high-latency
+            # host link even per-block scalar fetches break real time).
+            # Completion pacing comes from the sampled force_pending
+            # profiling fence and the paced capture source.
+            result = self._pending
         self._pending = (audio, latest_db)
         return result
 
@@ -188,7 +197,16 @@ class FrontEndPipeline:
         )
         result = None
         if self._pending is not None:
-            result = jax.device_get(self._pending)
+            # hand the previous block's outputs up STILL ON DEVICE: the
+            # web layer fetches the ~2 KB spectrum row at the UI's 5 Hz
+            # poll rate and only the audio rows that have consumers (the
+            # reference's zero-consumer no-op, audiostream.cxx:67-68,
+            # applied at the device->host boundary — at C=1024 the full
+            # audio block is ~8 MB per 42.7 ms, and on a high-latency
+            # host link even per-block scalar fetches break real time).
+            # Completion pacing comes from the sampled force_pending
+            # profiling fence and the paced capture source.
+            result = self._pending
         self._pending = (audio, latest_db)
         return result
 
@@ -207,10 +225,10 @@ class FrontEndPipeline:
         return True
 
     def flush(self):
-        """Fetch the last in-flight block (end of stream / teardown)."""
+        """Finish the last in-flight block (end of stream / teardown)."""
         result = None
         if self._pending is not None:
-            result = jax.device_get(self._pending)
+            result = self._pending
             self._pending = None
         return result
 

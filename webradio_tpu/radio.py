@@ -60,6 +60,40 @@ def _to_planes(block: np.ndarray) -> np.ndarray:
     # complex64 is interleaved (re, im) float32 in memory
     return np.ascontiguousarray(block.view(np.float32).reshape(-1, 2).T)
 
+_row_fetchers: dict = {}
+
+
+def _fetch_audio_row(audio, *idx) -> np.ndarray:
+    """Fetch one receiver's audio row from a (device) array.
+
+    One jitted dynamic-slice per array RANK with the indices as traced
+    scalars — a static ``audio[i]`` would build one tiny executable per
+    slot index and per width, and those compiles queue behind any
+    in-flight growth compile, stalling the pump for seconds (measured:
+    ring drops during hitless growth). The fetchers are warmed alongside
+    every pipeline warm-up so the pump never compiles mid-stream.
+    """
+    if isinstance(audio, np.ndarray):
+        out = audio
+        for i in idx:
+            out = out[i]
+        return out
+    import jax
+    from jax import lax
+
+    fn = _row_fetchers.get(audio.ndim)
+    if fn is None:
+        if audio.ndim == 2:
+            fn = jax.jit(lambda a, i: lax.dynamic_index_in_dim(
+                a, i, axis=0, keepdims=False))
+        else:
+            fn = jax.jit(lambda a, k, i: lax.dynamic_index_in_dim(
+                lax.dynamic_index_in_dim(a, k, axis=0, keepdims=False),
+                i, axis=0, keepdims=False))
+        _row_fetchers[audio.ndim] = fn
+    return np.asarray(fn(audio, *idx))
+
+
 #: "argument not provided" sentinel for partial control writes
 UNSET = object()
 
@@ -237,9 +271,10 @@ class FrontEnd:
         # bench.py uses; those samples feed ns_per_frame/last_step_ms.
         self.block_count = 0
         self.last_dispatch_ns = 0  # per-call handoff (dispatch + fetch N-1)
-        self.last_step_ns = 0      # sampled true device-step latency
+        self.last_step_ns = 0      # sampled dispatch->completion latency
         self.total_step_ns = 0     # sum over sampled steps only
         self.step_samples = 0
+        self._sampler: threading.Thread | None = None
         self.total_frames = 0
         Radio.front_ends[self.uuid] = self
 
@@ -412,7 +447,9 @@ class FrontEnd:
                  self.uuid)
         t0 = time.perf_counter()
         warm = np.zeros((2, self.cfg.block_frames), np.float32)
-        self.pipeline.process_host_sync(warm)
+        out = self.pipeline.process_host_sync(warm)
+        if out is not None:
+            _fetch_audio_row(out[0], 0)  # warm the per-row fetch path too
         self.pipeline.reset()
         log.info("front end %s: pipeline warm in %.1fs", self.uuid,
                  time.perf_counter() - t0)
@@ -420,6 +457,7 @@ class FrontEnd:
         self._capture = CaptureThread(self.tuner, self.ring)
         self._capture.start()
         self.running = True
+        self.started_monotonic = time.monotonic()
         # Background-compile the alternate parameter STRUCTURES (shared
         # Toeplitz FIR weights present/absent). A control write that first
         # diverges one receiver's bandwidth from the others flips the
@@ -533,6 +571,7 @@ class FrontEnd:
             )
             out = scan_serving(pl.cfg, pl.params, st, blocks)
             jax.device_get(out[2][:1])  # force through the device
+            _fetch_audio_row(out[1], 0, 0)  # warm the [k, C, af] fetcher
             self._scan_ready_key = key
             log.info("front end %s: %d-block catch-up scan warm",
                      self.uuid, CATCHUP_BLOCKS)
@@ -562,7 +601,11 @@ class FrontEnd:
                 pipe = self._build_pipeline(target)
                 # warm compile + transfer on a zero block, off the pump
                 warm = np.zeros((2, self.cfg.block_frames), np.float32)
-                pipe.process_host_sync(warm)
+                out = pipe.process_host_sync(warm)
+                if out is not None:
+                    # warm the per-row fetch at the grown width so the
+                    # pump never compiles the slice mid-stream
+                    _fetch_audio_row(out[0], 0)
                 pipe.reset()
                 # pre-compile the state-migration pads on dummy state of
                 # the serving width, so the pump-side swap hits the jit
@@ -693,64 +736,131 @@ class FrontEnd:
         self.last_dispatch_ns = time.perf_counter_ns() - t0
         self.block_count += n_blocks
         self.total_frames += n_blocks * self.cfg.block_frames
-        if self.block_count == 1 or self.block_count % PROFILE_SAMPLE_EVERY == 0:
-            # force THIS block's step through the device and time it from
-            # its own dispatch — the metric BASELINE.md defines (one block
-            # of pipelining overlap is sacrificed on sampled blocks only)
-            if self.pipeline.force_pending():
-                self.last_step_ns = time.perf_counter_ns() - t0
-                self.total_step_ns += self.last_step_ns
-                self.step_samples += 1
+        if (self.block_count == 1
+                or self.block_count % PROFILE_SAMPLE_EVERY == 0):
+            # time THIS block from its own dispatch to device completion —
+            # WITHOUT blocking the pump: the forcing fetch runs on a side
+            # thread holding its own reference to the in-flight outputs.
+            # On a local TPU host the fetch is ~us and the sample equals
+            # the device-step latency; on a high-latency tunnel a
+            # synchronous fetch here stalled the pump ~0.4 s per sample
+            # and itself caused the ring drops it was meant to detect.
+            self._sample_step_async(t0)
 
         if out is None:
             return True  # pipeline priming: results arrive next block
         self._publish(out)
         return True
 
+    def _sample_step_async(self, t0_ns: int) -> None:
+        """Kick one non-blocking profile sample (see run_once)."""
+        if self._sampler is not None and self._sampler.is_alive():
+            return  # previous sample still in flight (slow link)
+        pending = getattr(self.pipeline, "_pending", None)
+        if pending is None:
+            return
+
+        def run():
+            import jax
+
+            try:
+                jax.device_get(pending[1][:1])
+            except Exception:
+                return  # teardown race: sampling is best-effort
+            dt = time.perf_counter_ns() - t0_ns
+            self.last_step_ns = dt
+            self.total_step_ns += dt
+            self.step_samples += 1
+
+        self._sampler = threading.Thread(target=run, daemon=True,
+                                         name=f"profile-{self.uuid}")
+        self._sampler.start()
+
     def _publish(self, out) -> None:
         """Fan (audio, spectrum) out to HTTP readers. Audio may be
         ``[C, af]`` (one block) or ``[k, C, af]`` (a catch-up scan), and
         may be narrower than the slot table during growth — upper slots
-        simply have no samples yet."""
+        simply have no samples yet.
+
+        ``audio`` is usually still an ON-DEVICE array: only the rows of
+        receivers that actually have stream consumers (or a local audio
+        sink) are fetched to the host — ~8 KB per listener per block
+        instead of the whole ``[C, af]`` batch (~8 MB at C=1024), which
+        is the reference's zero-consumer no-op (audiostream.cxx:67-68)
+        applied at the device->host boundary."""
         from .web.audiostream import AudioStreamManager
 
         audio, spectra_db_latest = out
         with self._spec_lock:
+            # kept on device; get_spectrum_db fetches on HTTP demand
             self._spectrum_db = spectra_db_latest
-        blocks = audio if audio.ndim == 3 else audio[None]
-        for blk in blocks:
-            for i, rx in enumerate(self._slots[: blk.shape[0]]):
-                if rx is not None:
+        n_blocks = audio.shape[0] if audio.ndim == 3 else 1
+        width = audio.shape[1] if audio.ndim == 3 else audio.shape[0]
+        for i, rx in enumerate(self._slots[:width]):
+            if rx is None:
+                continue
+            wants_stream = AudioStreamManager.has_consumers(rx.uuid)
+            if not wants_stream and rx.audio_sink is None:
+                continue  # unwatched: audio never leaves the device
+            for b in range(n_blocks):
+                row = (_fetch_audio_row(audio, b, i) if audio.ndim == 3
+                       else _fetch_audio_row(audio, i))
+                if wants_stream:
                     AudioStreamManager.publish(
-                        rx.uuid, blk[i], self.cfg.audio_rate
+                        rx.uuid, row, self.cfg.audio_rate
                     )
-                    if rx.audio_sink is not None:
-                        # local soundcard/file binding; pa_simple_write
-                        # blocks on the hardware clock exactly like the
-                        # reference's in-graph sink (pulseaudio.cxx:143)
-                        try:
-                            rx.audio_sink.write(blk[i])
-                        except Exception:
-                            log.exception(
-                                "receiver %s: audio sink write failed; "
-                                "unbinding", rx.uuid,
-                            )
-                            rx.audio_sink = None
+                if rx.audio_sink is not None:
+                    # local soundcard/file binding; pa_simple_write
+                    # blocks on the hardware clock exactly like the
+                    # reference's in-graph sink (pulseaudio.cxx:143)
+                    try:
+                        rx.audio_sink.write(row)
+                    except Exception:
+                        log.exception(
+                            "receiver %s: audio sink write failed; "
+                            "unbinding", rx.uuid,
+                        )
+                        rx.audio_sink = None
 
     # ---- readers (HTTP threads) ---------------------------------------
     def get_spectrum_db(self) -> np.ndarray:
-        """Latest dB spectrum, ascending frequency (spectrumsink.cxx:125)."""
+        """Latest dB spectrum, ascending frequency (spectrumsink.cxx:125).
+
+        The row lives on the device until someone asks: the UI polls at
+        5 Hz (ui.html:168) while blocks arrive at ~23 Hz, so fetching
+        here instead of per block removes the pump's device round-trips
+        entirely on an unwatched server."""
         with self._spec_lock:
-            if self._spectrum_db is None:
-                return np.full(self.cfg.fft_size, -10000.0, np.float32)
-            return self._spectrum_db.copy()
+            spec = self._spectrum_db
+        if spec is None:
+            return np.full(self.cfg.fft_size, -10000.0, np.float32)
+        return np.asarray(spec).copy()
 
     def profile_ns_per_frame(self) -> float:
-        """Sampled device-step cost per input frame (dspblock.cxx:93-104's
-        metric, measured on forced blocks only — see run_once)."""
+        """Sampled dispatch-to-completion cost per input frame
+        (dspblock.cxx:93-104's metric; see run_once — on a remote/tunneled
+        backend this includes one host-link round trip per sample)."""
         if self.step_samples == 0:
             return 0.0
         return self.total_step_ns / (self.step_samples * self.cfg.block_frames)
+
+    def throughput_factor(self) -> float | None:
+        """Processed signal time / wall time since capture started.
+
+        The latency-free real-time health signal: a source-paced front
+        end holds ~1.0 while keeping up and sags below when blocks drop
+        (the reference's real-time contract is exactly "no capture
+        overruns", rtlsdrtuner.cxx:99-102). Unlike the sampled
+        ns_per_frame, this is immune to host-link round-trip latency."""
+        if not self.running or self.block_count == 0:
+            return None
+        elapsed = time.monotonic() - self.started_monotonic
+        if elapsed <= 0:
+            return None
+        signal_s = self.block_count * (
+            self.cfg.block_frames / self.cfg.sample_rate
+        )
+        return signal_s / elapsed
 
     def close(self) -> None:
         self.stop()

@@ -97,6 +97,16 @@ class AudioStreamManager:
 
     # ---- pipeline side -------------------------------------------------
     @classmethod
+    def has_consumers(cls, mountpoint: str) -> bool:
+        """Cheap pre-check for the pump: whether publishing this mount
+        would reach anyone. Lets the pipeline skip the device->host audio
+        fetch entirely for unwatched receivers (the device-boundary analog
+        of the reference's zero-consumer no-op, audiostream.cxx:67-68)."""
+        with cls._lock:
+            mount = cls._mounts.get(mountpoint)
+        return bool(mount and mount.consumers)
+
+    @classmethod
     def publish(cls, mountpoint: str, audio: np.ndarray, sample_rate: int) -> None:
         """Encode and fan out one block of mono audio. No-op with zero
         consumers (audiostream.cxx:67-68)."""

@@ -107,11 +107,15 @@ class StatusHandler(HttpRequestHandler):
                 "running": fe.running,
                 "blocks": fe.block_count,
                 "dropped_blocks": fe.ring.dropped_blocks,
-                # sampled true device-step metrics (every Nth block forced
-                # to completion, radio.PROFILE_SAMPLE_EVERY) — the metric
-                # BASELINE.md defines, not the double-buffered handoff time
+                # sampled dispatch->completion metrics (every Nth block,
+                # fetched on a side thread — radio.PROFILE_SAMPLE_EVERY).
+                # On a remote backend these include one host-link round
+                # trip; throughput_factor is the latency-free health signal
                 "ns_per_frame": round(nspf, 1),
                 "realtime_factor": round(budget / nspf, 2) if nspf else None,
+                "throughput_factor": (
+                    round(fe.throughput_factor(), 3)
+                    if fe.throughput_factor() is not None else None),
                 "last_step_ms": round(fe.last_step_ns / 1e6, 2),
                 "step_samples": fe.step_samples,
                 # per-call handoff cost (dispatch N + fetch N-1), what the
