@@ -1,0 +1,294 @@
+"""Direct-USB RTL-SDR driver: ctypes bindings to librtlsdr.
+
+The reference's only hardware driver links librtlsdr and owns the dongle
+directly (src/io/rtlsdrtuner.cxx): the constructor enumerates devices by
+USB serial (rtlsdrtuner.cxx:45-55), ``init()`` opens by serial, reads the
+crystal/USB identity strings, programs the sample rate and reads the
+achieved rate back, enables the RTL2832 internal AGC, pushes cached
+control settings and starts capture (rtlsdrtuner.cxx:185-248). Control
+setters write through to the open device and fall back to caching when
+closed (rtlsdrtuner.cxx:119-183), with live tuner-gain readback under AGC
+(rtlsdrtuner.cxx:158-166).
+
+This module is the same capability over ctypes: no compile-time
+dependency, graceful absence when ``librtlsdr.so`` is not installed
+(``rtlsdr_available()``), and the same open-by-serial / readback /
+write-through semantics. Capture uses ``rtlsdr_read_sync`` from the
+framework's capture thread (io/ring.CaptureThread): the reference's async
+callback + 4-slot ring decouples USB cadence from DSP cadence
+(rtlsdrtuner.cxx:65-117), which here is exactly the CaptureThread ->
+BlockRing pipeline every tuner already runs through — blocking block
+reads with drop-with-log backpressure land in the same place.
+
+The u8 -> float conversion matches the reference: ``(x - 128) / 128``
+(rtlsdrtuner.cxx:92-95).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import logging
+import threading
+
+import numpy as np
+
+from .source import RandSource, SampleSource
+from .tuner import Tuner
+
+log = logging.getLogger(__name__)
+
+
+def _load_librtlsdr():
+    name = ctypes.util.find_library("rtlsdr")
+    if name:
+        try:
+            return ctypes.CDLL(name)
+        except OSError:
+            pass
+    for path in ("librtlsdr.so.2", "librtlsdr.so.0", "librtlsdr.so"):
+        try:
+            return ctypes.CDLL(path)
+        except OSError:
+            continue
+    return None
+
+
+#: the loaded library, or None. Tests inject a fake here (and via
+#: set_library) — the only seam the mocked unit tests need.
+_LIB = _load_librtlsdr()
+
+
+def rtlsdr_available() -> bool:
+    return _LIB is not None
+
+
+def set_library(lib) -> None:
+    """Inject a (fake) librtlsdr — the mock seam for hardware-free tests."""
+    global _LIB
+    _LIB = lib
+
+
+def _prototypes(lib) -> None:
+    """Declare restypes for pointer-returning functions (safe to call on
+    fakes — missing attributes are simply skipped)."""
+    for fn, restype in (
+        ("rtlsdr_get_device_name", ctypes.c_char_p),
+        ("rtlsdr_get_device_count", ctypes.c_uint32),
+    ):
+        if hasattr(lib, fn):
+            try:
+                getattr(lib, fn).restype = restype
+            except (TypeError, AttributeError):
+                pass
+
+
+def list_devices() -> list[dict]:
+    """Enumerate connected dongles: ``[{index, manufacturer, product,
+    serial}]`` — the reference's constructor enumeration
+    (rtlsdrtuner.cxx:45-55)."""
+    if _LIB is None:
+        return []
+    _prototypes(_LIB)
+    out = []
+    for i in range(int(_LIB.rtlsdr_get_device_count())):
+        mfg = ctypes.create_string_buffer(256)
+        prod = ctypes.create_string_buffer(256)
+        serial = ctypes.create_string_buffer(256)
+        if _LIB.rtlsdr_get_device_usb_strings(i, mfg, prod, serial) == 0:
+            out.append(
+                {
+                    "index": i,
+                    "manufacturer": mfg.value.decode(errors="replace"),
+                    "product": prod.value.decode(errors="replace"),
+                    "serial": serial.value.decode(errors="replace"),
+                }
+            )
+    return out
+
+
+class _RtlSdrSource(SampleSource):
+    """Blocking block reads via ``rtlsdr_read_sync``.
+
+    Runs on the framework capture thread (io/ring.CaptureThread), which
+    plays the role of the reference's USB async thread; backpressure is
+    the BlockRing's drop-with-log (rtlsdrtuner.cxx:99-102)."""
+
+    def __init__(self, tuner: "RtlSdrTuner"):
+        super().__init__()
+        self._tuner = tuner
+        self._lock = threading.Lock()
+
+    def read_block(self) -> np.ndarray | None:
+        dev = self._tuner._dev
+        if dev is None:
+            return None
+        need = self.block_frames * 2
+        buf = ctypes.create_string_buffer(need)
+        n_read = ctypes.c_int(0)
+        with self._lock:
+            rc = _LIB.rtlsdr_read_sync(dev, buf, need,
+                                       ctypes.byref(n_read))
+        if rc != 0 or n_read.value < need:
+            log.warning("rtlsdr: short read (%d of %d bytes, rc=%d)",
+                        n_read.value, need, rc)
+            return None
+        raw = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
+        f = (raw - 128.0) / 128.0  # rtlsdrtuner.cxx:92-95
+        return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+
+
+class RtlSdrTuner(Tuner):
+    """RTL2832U dongle over direct USB (librtlsdr), subdevice = serial.
+
+    ``subdevice`` selects the dongle by USB serial string (empty = first
+    device), mirroring the reference's open-by-serial
+    (rtlsdrtuner.cxx:185-200 via rtlsdr_get_index_by_serial). Control
+    setters write through when the device is open and cache otherwise
+    (rtlsdrtuner.cxx:119-183).
+    """
+
+    driver = "rtlsdr"
+
+    def __init__(self, subdevice: str = ""):
+        self._dev = None
+        self._requested_serial = subdevice
+        self.xtal_hz = 0
+        self.tuner_xtal_hz = 0
+        super().__init__(RandSource(), name="RTL-SDR USB dongle")
+        self.product = "rtlsdr"
+        self.serial = subdevice
+        self.subdevices = list_devices()
+
+    # ---- open/close --------------------------------------------------
+    def _open(self) -> bool:
+        if _LIB is None:
+            log.error("rtlsdr: librtlsdr not available")
+            return False
+        _prototypes(_LIB)
+        if self._requested_serial:
+            index = _LIB.rtlsdr_get_index_by_serial(
+                self._requested_serial.encode()
+            )
+            if index < 0:
+                log.error("rtlsdr: no device with serial %r (rc=%d)",
+                          self._requested_serial, index)
+                return False
+        else:
+            if int(_LIB.rtlsdr_get_device_count()) == 0:
+                log.error("rtlsdr: no devices found")
+                return False
+            index = 0
+        dev = ctypes.c_void_p()
+        rc = _LIB.rtlsdr_open(ctypes.byref(dev), index)
+        if rc != 0 or not dev:
+            log.error("rtlsdr: open failed (rc=%d)", rc)
+            return False
+        self._dev = dev
+
+        # identity + crystal readback (rtlsdrtuner.cxx:205-222)
+        rtl_xtal = ctypes.c_uint32(0)
+        tuner_xtal = ctypes.c_uint32(0)
+        if hasattr(_LIB, "rtlsdr_get_xtal_freq"):
+            _LIB.rtlsdr_get_xtal_freq(dev, ctypes.byref(rtl_xtal),
+                                      ctypes.byref(tuner_xtal))
+        self.xtal_hz = int(rtl_xtal.value)
+        self.tuner_xtal_hz = int(tuner_xtal.value)
+        mfg = ctypes.create_string_buffer(256)
+        prod = ctypes.create_string_buffer(256)
+        serial = ctypes.create_string_buffer(256)
+        if _LIB.rtlsdr_get_usb_strings(dev, mfg, prod, serial) == 0:
+            self.manufacturer = mfg.value.decode(errors="replace")
+            self.product = prod.value.decode(errors="replace")
+            self.serial = serial.value.decode(errors="replace")
+        return True
+
+    def _close(self) -> None:
+        if self._dev is not None:
+            _LIB.rtlsdr_close(self._dev)
+            self._dev = None
+
+    # ---- lifecycle ---------------------------------------------------
+    def start(self) -> bool:
+        if self._dev is None and not self._open():
+            return False
+        dev = self._dev
+        # program + read back the achieved rate (rtlsdrtuner.cxx:226-228)
+        _LIB.rtlsdr_set_sample_rate(dev, int(self.source.sample_rate))
+        self._achieved_rate = int(_LIB.rtlsdr_get_sample_rate(dev))
+        # RTL2832 internal (digital) AGC always on, as the reference
+        # chooses (rtlsdrtuner.cxx:229)
+        _LIB.rtlsdr_set_agc_mode(dev, 1)
+        # push cached control state (rtlsdrtuner.cxx:232-235)
+        self.set_centre_frequency(self._centre_frequency)
+        self.set_offset_ppm(self._offset_ppm)
+        self.set_agc(self._agc)
+        if not self._agc:
+            self.set_gain_db(self._gain_db)
+        _LIB.rtlsdr_reset_buffer(dev)
+        old = self.source
+        src = _RtlSdrSource(self)
+        src.sample_rate = old.sample_rate
+        src.block_frames = old.block_frames
+        self.source = src
+        return self.source.start()
+
+    def stop(self) -> None:
+        super().stop()
+        self._close()
+
+    # ---- readback ----------------------------------------------------
+    @property
+    def effective_sample_rate(self) -> int:
+        """The device's achieved rate (rtlsdr_get_sample_rate readback,
+        rtlsdrtuner.cxx:226-228); the request until the device opens."""
+        rate = getattr(self, "_achieved_rate", 0)
+        return rate if rate else int(self.source.sample_rate)
+
+    @property
+    def gain_db(self) -> float:
+        """Live tuner-gain readback when open (what AGC actually chose —
+        rtlsdrtuner.cxx:158-166); the cached setting when closed."""
+        if self._dev is not None and hasattr(_LIB, "rtlsdr_get_tuner_gain"):
+            tenths = int(_LIB.rtlsdr_get_tuner_gain(self._dev))
+            if tenths != 0 or self._agc:
+                return tenths / 10.0
+        return self._gain_db
+
+    def supported_gains_db(self) -> list[float]:
+        """The dongle's gain table (rtlsdr_get_tuner_gains)."""
+        if self._dev is None or not hasattr(_LIB, "rtlsdr_get_tuner_gains"):
+            return []
+        n = int(_LIB.rtlsdr_get_tuner_gains(self._dev, None))
+        if n <= 0:
+            return []
+        buf = (ctypes.c_int * n)()
+        _LIB.rtlsdr_get_tuner_gains(self._dev, buf)
+        return [g / 10.0 for g in buf]
+
+    # ---- control write-through (rtlsdrtuner.cxx:119-183) -------------
+    def set_centre_frequency(self, hz: int) -> None:
+        super().set_centre_frequency(hz)
+        if self._dev is not None:
+            _LIB.rtlsdr_set_center_freq(self._dev, int(hz))
+
+    def set_offset_ppm(self, ppm: int) -> None:
+        super().set_offset_ppm(ppm)
+        if self._dev is not None:
+            # librtlsdr returns -2 for "already at this correction";
+            # harmless, matching the reference's unchecked call
+            _LIB.rtlsdr_set_freq_correction(self._dev, int(ppm))
+
+    def set_agc(self, on: bool) -> None:
+        super().set_agc(on)
+        if self._dev is not None:
+            _LIB.rtlsdr_set_tuner_gain_mode(self._dev, 0 if on else 1)
+            if not on:
+                _LIB.rtlsdr_set_tuner_gain(
+                    self._dev, int(round(self._gain_db * 10))
+                )
+
+    def set_gain_db(self, db: float) -> None:
+        super().set_gain_db(db)
+        if self._dev is not None and not self._agc:
+            _LIB.rtlsdr_set_tuner_gain(self._dev, int(round(db * 10)))

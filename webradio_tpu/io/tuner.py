@@ -397,3 +397,19 @@ TUNER_DRIVERS = {
     "file": FileTuner,
     "rtltcp": RtlTcpTuner,
 }
+
+
+def _register_rtlsdr() -> None:
+    """Direct-USB librtlsdr driver (io/rtlsdr.py) — registered lazily so
+    a broken/absent libusb stack can never break tuner imports. The class
+    itself degrades gracefully (start() fails with a log) when
+    librtlsdr.so is missing."""
+    from .rtlsdr import RtlSdrTuner
+
+    TUNER_DRIVERS["rtlsdr"] = RtlSdrTuner
+
+
+try:
+    _register_rtlsdr()
+except Exception:  # pragma: no cover — import-time hardening only
+    pass
