@@ -80,7 +80,8 @@ def _merge_state(config: dict, saved: dict) -> dict:
     for i, st in enumerate(saved.get("tuners", [])):
         if i < len(config.get("tuners", [])):
             for key in ("centre_frequency", "agc", "rf_gain", "offset_ppm",
-                        "engine", "capacity", "fir_precision"):
+                        "engine", "capacity", "fir_precision",
+                        "pfb_precision"):
                 if key in st:
                     config["tuners"][i][key] = st[key]
     if saved.get("receivers"):
@@ -145,6 +146,7 @@ class RadioApp:
                     "engine": fe.engine,
                     "capacity": len(fe._slots),
                     "fir_precision": fe.fir_precision,
+                    "pfb_precision": fe.pfb_precision,
                 }
             )
         receivers = []
@@ -196,7 +198,9 @@ class RadioApp:
             )
             fe = FrontEnd(tuner, chain, capacity=tcfg.get("capacity", 4),
                           engine=tcfg.get("engine", "auto"),
-                          fir_precision=tcfg.get("fir_precision", "highest"))
+                          fir_precision=tcfg.get("fir_precision", "highest"),
+                          pfb_precision=tcfg.get("pfb_precision",
+                                                 "default"))
             self.front_ends.append(fe)
         for rcfg in self.config.get("receivers", []):
             rx = Receiver()

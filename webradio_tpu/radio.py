@@ -225,17 +225,22 @@ class FrontEnd:
 
     def __init__(self, tuner: Tuner, cfg: ChainConfig | None = None,
                  capacity: int = 4, engine: str = "auto",
-                 fir_precision: str = "highest"):
+                 fir_precision: str = "highest",
+                 pfb_precision: str = "default"):
         """``engine``: "direct" (per-channel NCO+FIR, the reference
         topology), "channelized" (shared polyphase filterbank — the
         scalable path), or "auto" (channelized at capacity >=
         CHANNELIZED_AUTO_THRESHOLD). ``fir_precision``: MXU pass count
         for the channelized engine's FIRs ("highest" = float32-identical
-        to the direct form; "high" = bf16x3, ~100 dB SNR, faster)."""
+        to the direct form; "high" = bf16x3, ~100 dB SNR, faster).
+        ``pfb_precision``: the shared filterbank matmul's own arithmetic
+        ("default" = one bf16 pass, "high" = bf16x3 ~96 dB, "highest" =
+        float32-exact — see ChannelizedConfig.pfb_precision)."""
         self.uuid = _next_uuid("frontend")
         self.tuner = tuner
         self.engine = engine
         self.fir_precision = fir_precision
+        self.pfb_precision = pfb_precision
         base = cfg or ChainConfig()
         self.cfg = ChainConfig(**{**base.__dict__, "num_channels": capacity})
         # the rate the device actually runs at (RTL dongles quantize the
@@ -358,6 +363,7 @@ class FrontEnd:
             num_channels=width,
             fft_size=self.cfg.fft_size,
             fir_precision=self.fir_precision,
+            pfb_precision=self.pfb_precision,
             fir_design=self.cfg.fir_design,
         )
 
