@@ -103,18 +103,28 @@ def worker(out_path: str) -> None:
     def ifs(c):
         return [int((i - c // 2) * 2_000) for i in range(c)]
 
-    # fir_precision="highest" is float32-identical to the direct form
-    # (bf16x6); "high" is the bf16x3 tier (~65 dB SNR vs the float32
-    # chain through the FM discriminator — see BASELINE.md), benched at
-    # the widest batch where it buys a real-time config that "highest"
-    # cannot reach
+    # Quality tiers (SNR vs a float64 evaluation of the same math on FM
+    # tone ensembles, measured by `bench.py --accuracy`):
+    #   fir=highest pfb=highest : ~146 dB — float32-exact end to end,
+    #                             the reference chain's own quality
+    #   fir=highest pfb=high    : ~63 dB
+    #   fir=highest pfb=default : ~31 dB (one-bf16-pass filterbank)
+    #   fir=high    pfb=default : ~31 dB (fastest)
+    # "bit-exact" in the headline refers to the FIR tier (arithmetic
+    # parity with the direct engine); reference_quality additionally
+    # runs the filterbank at float32.
     sweep = [
-        (1024, "highest"), (4096, "highest"), (16384, "highest"),
-        (32768, "highest"), (49152, "highest"), (65536, "high"),
+        (1024, "highest", "default"), (4096, "highest", "default"),
+        (16384, "highest", "default"), (32768, "highest", "default"),
+        (49152, "highest", "default"), (65536, "high", "default"),
+        (16384, "highest", "highest"), (24576, "highest", "highest"),
+        (32768, "highest", "highest"), (40960, "highest", "high"),
     ]
-    for c, fp in sweep:
-        cfg = ChannelizedConfig(num_channels=c, fir_precision=fp)
-        key = f"pfb_c{c}" + ("" if fp == "highest" else f"_{fp}")
+    for c, fp, pp in sweep:
+        cfg = ChannelizedConfig(num_channels=c, fir_precision=fp,
+                                pfb_precision=pp)
+        key = (f"pfb_c{c}" + ("" if fp == "highest" else f"_{fp}")
+               + ("" if pp == "default" else f"_pfb{pp}"))
         try:
             params = make_channelized_params(cfg, ifs(c), 80_000, 8_000, "FM")
             state = init_channelized_state(cfg)
@@ -124,13 +134,11 @@ def worker(out_path: str) -> None:
             )
         except Exception as e:
             emit(kind="error", key=key, error=str(e)[:120])
-            break
+            continue
         emit(kind="result", path="pfb", key=key, channels=c,
-             precision=fp, step_ms=dt * 1e3,
+             precision=fp, pfb_precision=pp, step_ms=dt * 1e3,
              rt_channels=c * cfg.block_seconds / dt,
              realtime=dt <= cfg.block_seconds)
-        if dt > 4 * cfg.block_seconds:
-            break
 
     # the direct engine is the SHIPPED DEFAULT topology (capacity 4,
     # app.py DEFAULT_CONFIG) — small-C points cover what a stock install
@@ -206,7 +214,8 @@ def main() -> None:
     # throughput-normalized best (with a note) only if nothing measured
     # real-time.
     report = {}
-    best_rt = {"highest": 0, "high": 0}  # precision -> largest rt batch
+    best_rt = {"highest": 0, "high": 0}  # FIR tier -> largest rt batch
+    best_refq = 0  # fir=highest AND pfb=highest (float32-exact chain)
     best_tp, best_tp_c, best_tp_fp = 0.0, 0, ""
     try:
         for line in open(path):
@@ -220,8 +229,13 @@ def main() -> None:
                 report[f"{key}_rt_channels"] = round(rec["rt_channels"], 1)
                 if rec["path"] == "pfb":
                     fp = rec.get("precision", "highest")
+                    pp = rec.get("pfb_precision", "default")
                     if rec.get("realtime") and rec["channels"] > best_rt[fp]:
                         best_rt[fp] = rec["channels"]
+                    if (rec.get("realtime") and fp == "highest"
+                            and pp == "highest"
+                            and rec["channels"] > best_refq):
+                        best_refq = rec["channels"]
                     if rec["rt_channels"] > best_tp:
                         best_tp = rec["rt_channels"]
                         best_tp_c, best_tp_fp = rec["channels"], fp
@@ -255,12 +269,131 @@ def main() -> None:
                 "vs_baseline": value,  # reference sustains 1 channel (SURVEY §6)
                 "realtime_channels_bitexact": bitexact,
                 "realtime_channels_bf16x3": bf16x3,
+                # float32-exact end to end (fir=highest AND pfb=highest;
+                # ~146 dB vs float64 on FM tones — the reference chain's
+                # own arithmetic quality)
+                "realtime_channels_reference_quality": best_refq,
                 "best_precision": best_fp,
                 "detail": report,
                 "best_batch": best_c,
             }
         )
     )
+
+
+def accuracy() -> int:
+    """Measured end-to-end arithmetic accuracy of the channelized engine.
+
+    Runs one stock-rate block of full-band noise (the worst case for the
+    FM discriminator) through ``channelized_step`` on the device at each
+    (fir_precision, pfb_precision) tier, against a float64 NumPy
+    evaluation of the SAME math (same float32 parameter values, same
+    quantized-NCO/demod laws, full float64 arithmetic). This quantifies
+    what each precision knob actually buys END TO END — including the
+    filterbank's bf16-pass floor, which parity tests that share the
+    filterbank product cannot see (BASELINE.md r3 #4). Prints ONE JSON
+    line of SNR dB per tier.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from webradio_tpu.pipeline.channelized import (
+        ChannelizedConfig,
+        channelized_step,
+        init_channelized_state,
+        make_channelized_params,
+    )
+
+    c = 128  # one channel tile
+    cfg0 = ChannelizedConfig(num_channels=c)
+    ifs = [int((i - c // 2) * 2_000) + 777 for i in range(c)]
+    params0 = make_channelized_params(cfg0, ifs, 80_000, 8_000, "FM")
+
+    def f64_reference(x64):
+        """Float64 evaluation of the channelized math on exact-f32 input
+        values and exact-f32 parameter values."""
+        d = cfg0.num_bins
+        kp = cfg0.proto_taps
+        nd = cfg0.chan_frames
+        k = cfg0.fir_length
+        ad = cfg0.audio_decim
+        w64 = np.asarray(params0.pfb_weights,
+                         np.float64).reshape(2 * kp, 2 * c)
+        # im2col frames [nd, 2kp] (zero history, as init state)
+        ext = np.concatenate([np.zeros((2, kp - 1)), x64], axis=-1)
+        fr = np.empty((nd, 2 * kp))
+        for t in range(kp):
+            col = ext[:, (kp - 1 - t): (kp - 1 - t) + nd * d: d].T
+            fr[:, t] = col[:, 0]
+            fr[:, kp + t] = col[:, 1]
+        y = fr @ w64  # [nd, 2C]
+        ci, cq = y[:, :c], y[:, c:]
+        # residual NCO (fast law: full 31-bit angle), phase0 = 0
+        n = np.arange(nd, dtype=np.uint64)[:, None]
+        steps = np.asarray(params0.residual_step, np.uint64)[None, :]
+        ph = (n * steps) & np.uint64((1 << 31) - 1)
+        theta = ph.astype(np.float64) * (2.0 * np.pi / (1 << 31))
+        s_, c_ = np.sin(theta), np.cos(theta)
+        mi = ci * c_ + cq * s_
+        mq = cq * c_ - ci * s_
+        # shaping FIR (decim 1), reference correlation (lowpass.cxx:151)
+        rev = np.asarray(params0.chan_coeff, np.float64)[0][::-1]
+        exti = np.concatenate([np.zeros((k - 1, c)), mi], axis=0)
+        extq = np.concatenate([np.zeros((k - 1, c)), mq], axis=0)
+        yi = np.zeros((nd, c))
+        yq = np.zeros((nd, c))
+        for j in range(k):
+            yi += rev[j] * exti[j: j + nd]
+            yq += rev[j] * extq[j: j + nd]
+        # FM: conjugate-previous product, atan2(ii, qq) arg order, /2pi
+        li = np.concatenate([np.zeros((1, c)), yi[:-1]], axis=0)
+        lq = np.concatenate([np.zeros((1, c)), yq[:-1]], axis=0)
+        ii = yi * li + yq * lq
+        qq = yq * li - yi * lq
+        fm = np.arctan2(ii, qq) / (2.0 * np.pi)
+        # audio FIR decim 5
+        arev = np.asarray(params0.audio_coeff, np.float64)[0][::-1]
+        exta = np.concatenate([np.zeros((k - 1, c)), fm], axis=0)
+        ref = np.zeros((nd // ad, c))
+        for j in range(k):
+            ref += arev[j] * exta[j: j + (nd // ad) * ad: ad]
+        return ref.T  # [C, audio_frames]
+
+    rng = np.random.default_rng(7)
+    nb = cfg0.block_frames
+    signals = {}
+    # worst case: full-band noise through the FM discriminator (phase
+    # errors blow up where |y| ~ 0 — this bounds EVERY f32 chain)
+    signals["noise"] = rng.standard_normal((2, nb))
+    # realistic: one NBFM carrier per receiver at its own IF
+    t = np.arange(nb) / cfg0.sample_rate
+    z = np.zeros(nb, np.complex128)
+    for f in ifs:
+        beta = 5_000.0 / 1_000.0
+        z += 0.08 * np.exp(1j * (2 * np.pi * f * t
+                                 + beta * np.sin(2 * np.pi * 1_000.0 * t)))
+    z += 0.002 * (rng.standard_normal(nb) + 1j * rng.standard_normal(nb))
+    signals["fm_tones"] = np.stack([z.real, z.imag])
+
+    out = {"metric": "channelized_audio_snr_db_vs_float64", "channels": c}
+    for name, sig in signals.items():
+        x = jnp.asarray(sig.astype(np.float32))
+        ref = f64_reference(np.asarray(x, np.float64))
+        for fir_p, pfb_p in (("highest", "default"), ("highest", "high"),
+                             ("highest", "highest"), ("high", "default"),
+                             ("high", "high")):
+            cfg = ChannelizedConfig(num_channels=c, fir_precision=fir_p,
+                                    pfb_precision=pfb_p)
+            params = make_channelized_params(cfg, ifs, 80_000, 8_000, "FM")
+            _, audio, _ = channelized_step(cfg, params,
+                                           init_channelized_state(cfg), x)
+            got = np.asarray(jax.device_get(audio), np.float64)
+            err = got - ref
+            snr = 10.0 * np.log10(np.mean(ref ** 2) / np.mean(err ** 2))
+            out[f"{name}_fir_{fir_p}_pfb_{pfb_p}"] = round(float(snr), 1)
+    print(json.dumps(out))
+    return 0
 
 
 def soak(seconds: int = 30, capacity: int = 1024) -> int:
@@ -355,6 +488,8 @@ def soak(seconds: int = 30, capacity: int = 1024) -> int:
 if __name__ == "__main__":
     if len(sys.argv) > 2 and sys.argv[1] == "--worker":
         worker(sys.argv[2])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--accuracy":
+        sys.exit(accuracy())
     elif len(sys.argv) > 1 and sys.argv[1] == "--soak":
         sys.exit(soak(
             int(sys.argv[2]) if len(sys.argv) > 2 else 30,

@@ -234,3 +234,72 @@ def test_receiver_audio_sink_file_route(tmp_path):
     spec = np.abs(np.fft.rfft(x * np.hanning(len(x))))
     peak = f[np.argmax(spec)]
     assert abs(peak - 1_000) < 50, f"expected 1 kHz tone, got {peak:.0f} Hz"
+
+
+def test_unwatched_receivers_never_fetch_audio(monkeypatch, tmp_path):
+    """The pump must not move audio device->host for receivers nobody is
+    listening to (the reference's zero-consumer no-op, audiostream.cxx:
+    67-68, applied at the device boundary): with no stream consumers and
+    no local sink, zero per-row fetches happen; opening a stream starts
+    them; closing it stops them again."""
+    import webradio_tpu.radio as radio_mod
+    from webradio_tpu.app import RadioApp
+
+    Radio.reset()
+    AudioStreamManager.reset()
+    calls = {"n": 0}
+    real = radio_mod._fetch_audio_row
+
+    def counting(audio, *idx):
+        calls["n"] += 1
+        return real(audio, *idx)
+
+    monkeypatch.setattr(radio_mod, "_fetch_audio_row", counting)
+    config = {
+        "server": {"port": 0, "host": "127.0.0.1", "html": "html"},
+        "tuners": [
+            {"driver": "tone", "sample_rate": 256_000,
+             "channel_rate": 32_000, "audio_rate": 8_000,
+             "block_frames": 8_192, "capacity": 2}
+        ],
+        "receivers": [{"tuner": 0, "if_frequency": 0,
+                       "demodulator": "AM"}],
+    }
+    a = RadioApp(config)
+    try:
+        assert a.start()
+        deadline = time.time() + 30
+        while a.front_ends[0].block_count < 5 and time.time() < deadline:
+            time.sleep(0.05)
+        warm_calls = calls["n"]  # the start() warm-up fetch only
+        start_blocks = a.front_ends[0].block_count
+        while (a.front_ends[0].block_count < start_blocks + 5
+               and time.time() < deadline):
+            time.sleep(0.05)
+        assert calls["n"] == warm_calls, (
+            "audio was fetched with zero consumers"
+        )
+
+        # one listener: fetches start (one row per block)
+        consumer = AudioStreamManager.subscribe(
+            a.receivers[0].uuid, "wav", 8_000)
+        before = calls["n"]
+        start_blocks = a.front_ends[0].block_count
+        while (a.front_ends[0].block_count < start_blocks + 5
+               and time.time() < deadline):
+            time.sleep(0.05)
+        assert calls["n"] > before, "no fetches with a live consumer"
+        assert consumer.read(timeout=5.0), "consumer got no audio"
+
+        AudioStreamManager.unsubscribe(consumer)
+        time.sleep(0.2)
+        quiet = calls["n"]
+        start_blocks = a.front_ends[0].block_count
+        while (a.front_ends[0].block_count < start_blocks + 5
+               and time.time() < deadline):
+            time.sleep(0.05)
+        assert calls["n"] - quiet <= 1  # at most one in-flight block
+    finally:
+        a.close()
+        Radio.reset()
+        AudioStreamManager.reset()

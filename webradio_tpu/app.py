@@ -200,7 +200,7 @@ class RadioApp:
                           engine=tcfg.get("engine", "auto"),
                           fir_precision=tcfg.get("fir_precision", "highest"),
                           pfb_precision=tcfg.get("pfb_precision",
-                                                 "default"))
+                                                 "highest"))
             self.front_ends.append(fe)
         for rcfg in self.config.get("receivers", []):
             rx = Receiver()

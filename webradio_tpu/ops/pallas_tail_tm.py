@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .nco import LOOKUP_BITS, LOOKUP_MASK, LOOKUP_SHIFT, PHASE_MASK
 from .trig import atan2
-from .demod import MODE_AM, MODE_FM, MODE_LSB, MODE_USB
+from .demod import MODE_AM, MODE_FM, MODE_USB
 
 _ANGLE_SCALE = np.float32(2.0 * np.pi / (1 << LOOKUP_BITS))
 _INV_2PI = np.float32(1.0 / (2.0 * np.pi))

@@ -472,13 +472,6 @@ class ShardedChannelizedFrontEnd:
         self._pending = (audio, latest_db)
         return result
 
-    def force_pending(self) -> bool:
-        """Profiling fence: force the in-flight step to completion via a
-        one-element device->host fetch (see FrontEndPipeline.force_pending)."""
-        if self._pending is None:
-            return False
-        jax.device_get(self._pending[1][:1])
-        return True
 
     def flush(self):
         result = None

@@ -83,14 +83,17 @@ class ChannelizedConfig:
     #: batch is large enough that the kernel's single HBM round-trip
     #: beats XLA's wide fusions (see PALLAS_TM_AUTO_THRESHOLD).
     tail_kernel: str = "auto"
-    #: filterbank matmul precision: "default" (one bf16 MXU pass — the
-    #: arithmetic the filterbank has always run at; ~51 dB vs float32,
-    #: measured 2.8e-3 max rel err on v5e), "high" (bf16x3, ~96 dB), or
-    #: "highest" (bf16x6, float32-exact). Independent of fir_precision:
-    #: the FIR tiers define arithmetic parity with the direct engine,
-    #: while this knob sets the (reference-analog-free) filterbank's own
-    #: arithmetic accuracy.
-    pfb_precision: str = "default"
+    #: filterbank matmul precision: "highest" (bf16x6, float32-exact —
+    #: the DEFAULT: end-to-end audio measures ~146 dB vs float64 on FM
+    #: tones, the reference chain's own quality), "high" (bf16x3,
+    #: ~63 dB), or "default" (one bf16 MXU pass, ~31 dB on FM tones —
+    #: the throughput tier for mass monitoring). Costs nothing at common
+    #: scales (<1 ms at C<=2048) and becomes the main speed/quality
+    #: trade at C>=32768 (bench.py sweeps all tiers). Independent of
+    #: fir_precision: the FIR tiers define arithmetic parity with the
+    #: direct engine, while this knob sets the (reference-analog-free)
+    #: filterbank's own arithmetic accuracy.
+    pfb_precision: str = "highest"
     #: FIR design law (see ChainConfig.fir_design)
     fir_design: str = "reference"
 
@@ -574,8 +577,8 @@ class ChannelizedPipeline:
             # applied at the device->host boundary — at C=1024 the full
             # audio block is ~8 MB per 42.7 ms, and on a high-latency
             # host link even per-block scalar fetches break real time).
-            # Completion pacing comes from the sampled force_pending
-            # profiling fence and the paced capture source.
+            # Completion pacing comes from the pump's asynchronous
+            # profiling sampler and the paced capture source.
             result = self._pending
         self._pending = (audio, latest_db)
         return result
@@ -599,19 +602,12 @@ class ChannelizedPipeline:
             # applied at the device->host boundary — at C=1024 the full
             # audio block is ~8 MB per 42.7 ms, and on a high-latency
             # host link even per-block scalar fetches break real time).
-            # Completion pacing comes from the sampled force_pending
-            # profiling fence and the paced capture source.
+            # Completion pacing comes from the pump's asynchronous
+            # profiling sampler and the paced capture source.
             result = self._pending
         self._pending = (audio, latest_db)
         return result
 
-    def force_pending(self) -> bool:
-        """Profiling fence: force the in-flight step to completion via a
-        one-element device->host fetch (see FrontEndPipeline.force_pending)."""
-        if self._pending is None:
-            return False
-        jax.device_get(self._pending[1][:1])
-        return True
 
     def flush(self):
         result = None

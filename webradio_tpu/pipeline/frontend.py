@@ -179,8 +179,8 @@ class FrontEndPipeline:
             # applied at the device->host boundary — at C=1024 the full
             # audio block is ~8 MB per 42.7 ms, and on a high-latency
             # host link even per-block scalar fetches break real time).
-            # Completion pacing comes from the sampled force_pending
-            # profiling fence and the paced capture source.
+            # Completion pacing comes from the pump's asynchronous
+            # profiling sampler and the paced capture source.
             result = self._pending
         self._pending = (audio, latest_db)
         return result
@@ -204,25 +204,12 @@ class FrontEndPipeline:
             # applied at the device->host boundary — at C=1024 the full
             # audio block is ~8 MB per 42.7 ms, and on a high-latency
             # host link even per-block scalar fetches break real time).
-            # Completion pacing comes from the sampled force_pending
-            # profiling fence and the paced capture source.
+            # Completion pacing comes from the pump's asynchronous
+            # profiling sampler and the paced capture source.
             result = self._pending
         self._pending = (audio, latest_db)
         return result
 
-    def force_pending(self) -> bool:
-        """Force the in-flight step through the device (one-element fetch).
-
-        Profiling fence: tunneled backends ack ``block_until_ready``
-        before remote execution completes, so fetching a scalar through
-        the device->host path is the only reliable completion barrier
-        (same trick as bench.py). Returns False when nothing is in
-        flight. The result stays pending for the normal fetch.
-        """
-        if self._pending is None:
-            return False
-        jax.device_get(self._pending[1][:1])
-        return True
 
     def flush(self):
         """Finish the last in-flight block (end of stream / teardown)."""

@@ -226,7 +226,7 @@ class FrontEnd:
     def __init__(self, tuner: Tuner, cfg: ChainConfig | None = None,
                  capacity: int = 4, engine: str = "auto",
                  fir_precision: str = "highest",
-                 pfb_precision: str = "default"):
+                 pfb_precision: str = "highest"):
         """``engine``: "direct" (per-channel NCO+FIR, the reference
         topology), "channelized" (shared polyphase filterbank — the
         scalable path), or "auto" (channelized at capacity >=
@@ -234,8 +234,9 @@ class FrontEnd:
         for the channelized engine's FIRs ("highest" = float32-identical
         to the direct form; "high" = bf16x3, ~100 dB SNR, faster).
         ``pfb_precision``: the shared filterbank matmul's own arithmetic
-        ("default" = one bf16 pass, "high" = bf16x3 ~96 dB, "highest" =
-        float32-exact — see ChannelizedConfig.pfb_precision)."""
+        ("highest" = float32-exact, the default; "high" = bf16x3;
+        "default" = one bf16 pass, the mass-monitoring throughput tier —
+        see ChannelizedConfig.pfb_precision for measured SNR/cost)."""
         self.uuid = _next_uuid("frontend")
         self.tuner = tuner
         self.engine = engine
