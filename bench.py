@@ -119,6 +119,7 @@ def worker(out_path: str) -> None:
         (49152, "highest", "default"), (65536, "high", "default"),
         (16384, "highest", "highest"), (24576, "highest", "highest"),
         (32768, "highest", "highest"), (40960, "highest", "high"),
+        (45056, "highest", "u8exact"), (49152, "highest", "u8exact"),
     ]
     for c, fp, pp in sweep:
         cfg = ChannelizedConfig(num_channels=c, fir_precision=fp,
@@ -216,6 +217,7 @@ def main() -> None:
     report = {}
     best_rt = {"highest": 0, "high": 0}  # FIR tier -> largest rt batch
     best_refq = 0  # fir=highest AND pfb=highest (float32-exact chain)
+    best_refq_u8 = 0  # fir=highest, pfb=u8exact (exact for u8 input)
     best_tp, best_tp_c, best_tp_fp = 0.0, 0, ""
     try:
         for line in open(path):
@@ -236,6 +238,10 @@ def main() -> None:
                             and pp == "highest"
                             and rec["channels"] > best_refq):
                         best_refq = rec["channels"]
+                    if (rec.get("realtime") and fp == "highest"
+                            and pp == "u8exact"
+                            and rec["channels"] > best_refq_u8):
+                        best_refq_u8 = rec["channels"]
                     if rec["rt_channels"] > best_tp:
                         best_tp = rec["rt_channels"]
                         best_tp_c, best_tp_fp = rec["channels"], fp
@@ -273,6 +279,10 @@ def main() -> None:
                 # ~146 dB vs float64 on FM tones — the reference chain's
                 # own arithmetic quality)
                 "realtime_channels_reference_quality": best_refq,
+                # 2-pass split-weight filterbank: zero bf16 product error
+                # for 8-bit-sourced signals (all real RTL2832U data)
+                "realtime_channels_reference_quality_u8input": max(
+                    best_refq_u8, best_refq),
                 "best_precision": best_fp,
                 "detail": report,
                 "best_batch": best_c,
@@ -375,6 +385,11 @@ def accuracy() -> int:
                                  + beta * np.sin(2 * np.pi * 1_000.0 * t)))
     z += 0.002 * (rng.standard_normal(nb) + 1j * rng.standard_normal(nb))
     signals["fm_tones"] = np.stack([z.real, z.imag])
+    # real hardware signals live on the u8 ADC grid (x-128)/128 — the
+    # domain where the u8exact split-weight filterbank has zero bf16
+    # product error
+    signals["u8_noise"] = (
+        np.round(signals["noise"] * 64).clip(-128, 127) / 128.0)
 
     out = {"metric": "channelized_audio_snr_db_vs_float64", "channels": c}
     for name, sig in signals.items():
@@ -382,7 +397,7 @@ def accuracy() -> int:
         ref = f64_reference(np.asarray(x, np.float64))
         for fir_p, pfb_p in (("highest", "default"), ("highest", "high"),
                              ("highest", "highest"), ("high", "default"),
-                             ("high", "high")):
+                             ("high", "high"), ("highest", "u8exact")):
             cfg = ChannelizedConfig(num_channels=c, fir_precision=fir_p,
                                     pfb_precision=pfb_p)
             params = make_channelized_params(cfg, ifs, 80_000, 8_000, "FM")

@@ -341,3 +341,87 @@ def test_short_tile_config_falls_back(rng):
                                    iq)
     assert audio.shape == (8, cfg.audio_frames)
     assert np.isfinite(np.asarray(audio)).all()
+
+
+def test_u8exact_pfb_matches_highest_on_u8_input(rng):
+    """The 2-pass split-weight filterbank law has zero bf16 product
+    error whenever the input is 8-bit-sourced (the (x-128)/128 grid
+    every RTL2832U sample lives on): on that grid it equals the HIGHEST
+    product to float32 accumulation rounding (~1e-6 — summation order
+    differs); on arbitrary float32 input it additionally rounds the
+    frames to bf16."""
+    from webradio_tpu.ops.channelizer import (
+        bin_weights_for_channels,
+        design_prototype,
+        pfb_channelize_direct_tm,
+    )
+    import jax
+    import jax.numpy as jnp
+
+    nbins, tpp, c = 8, 16, 16
+    kp = nbins * tpp
+    proto = design_prototype(1_024_000, nbins, tpp)
+    w = jnp.asarray(bin_weights_for_channels(
+        proto, nbins, (np.arange(c) % nbins).astype(np.int32)))
+    hist = jnp.zeros((2, kp - 1), jnp.float32)
+
+    from webradio_tpu.ops.channelizer import (
+        pfb_channelize_direct_tm_u8,
+        split_weights_u8,
+    )
+
+    # u8 ADC grid: (x - 128) / 128, exactly bf16-representable
+    raw = rng.integers(0, 256, (2, 4096)).astype(np.float32)
+    x = jnp.asarray((raw - 128.0) / 128.0)
+    hi_i, hi_q, _ = pfb_channelize_direct_tm(
+        x, w, nbins, hist, precision=jax.lax.Precision.HIGHEST)
+    u8_i, u8_q, _ = pfb_channelize_direct_tm_u8(
+        x, split_weights_u8(np.asarray(w)), nbins, hist)
+    # the split-weight sum reassembles the exact weights; the two f32
+    # accumulations differ only in summation order
+    np.testing.assert_allclose(np.asarray(u8_i), np.asarray(hi_i),
+                               atol=4e-6)
+    np.testing.assert_allclose(np.asarray(u8_q), np.asarray(hi_q),
+                               atol=4e-6)
+
+    # the config knob validates and threads through the step
+    from webradio_tpu.pipeline.channelized import ChannelizedConfig
+
+    cfg = ChannelizedConfig(
+        sample_rate=1_024_000, channel_rate=128_000, audio_rate=32_000,
+        block_frames=8_192, num_channels=16, pfb_precision="u8exact")
+    assert cfg.pfb_precision == "u8exact"
+    with pytest.raises(ValueError):
+        ChannelizedConfig(
+            sample_rate=1_024_000, channel_rate=128_000,
+            audio_rate=32_000, block_frames=8_192, num_channels=16,
+            pfb_precision="u8exact", tail_kernel="pallas_pfb")
+
+
+def test_u8exact_step_matches_highest_on_u8_input(rng):
+    """channelized_step at pfb_precision="u8exact" == "highest" (to f32
+    rounding) on 8-bit-grid input, through the whole chain with carried
+    state. The params carry the host-split weights; on TPU the step
+    routes them through the 2-pass MXU law (pfb_channelize_direct_tm_u8,
+    parity-tested directly above), off-TPU it falls back to the native
+    f32 product — either way this pins the routing and the audio."""
+    base = dict(sample_rate=1_024_000, channel_rate=128_000,
+                audio_rate=32_000, block_frames=8_192, num_channels=8)
+    cfg_h = ChannelizedConfig(**base, pfb_precision="highest")
+    cfg_u = ChannelizedConfig(**base, pfb_precision="u8exact")
+    ifs = [((i % 8) - 4) * 100_000 + 777 for i in range(8)]
+    p_h = make_channelized_params(cfg_h, ifs, 80_000, 8_000, "FM")
+    p_u = make_channelized_params(cfg_u, ifs, 80_000, 8_000, "FM")
+    assert p_u.pfb_weights_split is not None
+    assert p_h.pfb_weights_split is None
+
+    raw = rng.integers(0, 256, (2, 2 * 8_192)).astype(np.float32)
+    x = jnp.asarray((raw - 128.0) / 128.0)
+    s_h = init_channelized_state(cfg_h)
+    s_u = init_channelized_state(cfg_u)
+    for i in range(2):
+        blk = x[:, i * 8_192:(i + 1) * 8_192]
+        s_h, a_h, _ = channelized_step(cfg_h, p_h, s_h, blk)
+        s_u, a_u, _ = channelized_step(cfg_u, p_u, s_u, blk)
+        np.testing.assert_allclose(np.asarray(a_u), np.asarray(a_h),
+                                   atol=2e-4)

@@ -200,6 +200,73 @@ def bin_weights_for_channels(
     return b
 
 
+def _pfb_dot(f2, w2, precision):
+    """The filterbank product ``[nd, 2K_p] @ [2K_p, 2C]`` at a
+    ``lax.Precision`` (None/DEFAULT = one bf16 pass, HIGH = 3,
+    HIGHEST = 6). The u8exact tier goes through
+    :func:`pfb_channelize_direct_tm_u8` with host-split weights instead
+    — deriving the bf16 hi/lo split INSIDE jit is silently simplified
+    away by XLA (measured: the low part contributes nothing), so the
+    split must be a traced input."""
+    return jax.lax.dot_general(
+        f2, w2, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+
+def split_weights_u8(weights: np.ndarray) -> jnp.ndarray:
+    """Host-side bf16 hi/lo split of the filterbank weights:
+    ``[2, 2 K_p, 2 C]`` bfloat16 with ``w ~= hi + lo``.
+
+    The operand of the u8exact 2-pass filterbank product
+    (:func:`pfb_channelize_direct_tm_u8`). Computed EAGERLY: the same
+    round-trip expressed inside a jitted function gets simplified by
+    XLA into a single bf16 rounding, silently dropping the low part
+    (measured on v5e: in-jit split == DEFAULT one-pass error, host
+    split == ~2e-6 rel, 1/3 of HIGHEST's passes)."""
+    w = jnp.asarray(np.asarray(weights, np.float32))
+    w = w.reshape(w.shape[0], -1)
+    hi = w.astype(jnp.bfloat16)
+    lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.stack([hi, lo])
+
+
+@functools.partial(jax.jit, static_argnames=("decimation", "split"))
+def pfb_channelize_direct_tm_u8(
+    x: jax.Array,
+    weights_split: jax.Array,
+    decimation: int,
+    history: jax.Array,
+    split: bool = True,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """:func:`pfb_channelize_direct_tm` via the u8exact split-weight law.
+
+    ``weights_split`` is :func:`split_weights_u8`'s ``[2, 2 K_p, 2 C]``
+    bfloat16 pair. The frames round to bf16 — LOSSLESS whenever the
+    input is 8-bit-sourced, which all real RTL2832U data is
+    (u8 -> (x-128)/128 spans 256 values, each exact in bf16's 8-bit
+    mantissa; rtlsdrtuner.cxx:92-95) — and one doubled-contraction bf16
+    MXU product ``[fb | fb] @ [[hi], [lo]]`` accumulates both halves in
+    float32: float32-rounding-accurate (~2e-6 of the HIGHEST product,
+    the second-level split rounding) at 2 bf16 passes instead of
+    HIGHEST's 6. For synthetic float32 sources the frame rounding adds
+    a ~bf16-of-input term (~70 dB), still far above the one-pass
+    DEFAULT tier."""
+    kp2 = weights_split.shape[1]
+    c = weights_split.shape[2] // 2
+    f2, new_history = pfb_frames_tm(x, kp2 // 2, decimation, history)
+    fb = f2.astype(jnp.bfloat16)
+    fcat = jnp.concatenate([fb, fb], axis=1)  # [nd, 4 K_p]
+    wcat = jnp.concatenate([weights_split[0], weights_split[1]], axis=0)
+    y = jax.lax.dot_general(
+        fcat, wcat, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [nd, 2C]
+    if not split:
+        return y, y, new_history
+    return y[:, :c], y[:, c:], new_history
+
+
 @functools.partial(jax.jit, static_argnames=("decimation", "precision"))
 def pfb_channelize_direct(
     x: jax.Array,
@@ -246,13 +313,9 @@ def pfb_channelize_direct(
     f = jnp.stack(frames, axis=-1)  # [2, nd, K_p]
     f2 = jnp.concatenate([f[0], f[1]], axis=-1)  # [nd, 2 K_p]
 
-    y = jax.lax.dot_general(
-        f2,
-        weights,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )  # [nd, 2, C]
+    y = _pfb_dot(
+        f2, weights.reshape(weights.shape[0], -1), precision
+    ).reshape(f2.shape[0], 2, weights.shape[-1])  # [nd, 2, C]
 
     out = y.transpose(1, 2, 0)  # [2, C, nd]
     new_history = x[..., n - (kp - 1):]
@@ -339,13 +402,8 @@ def pfb_channelize_direct_tm(
     c = weights.shape[-1]
     f2, new_history = pfb_frames_tm(x, kp, decimation, history)
 
-    y = jax.lax.dot_general(
-        f2,
-        weights.reshape(weights.shape[0], 2 * c),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    )  # [nd, 2C]: columns [:C] = mixed I, [C:] = mixed Q
+    y = _pfb_dot(f2, weights.reshape(weights.shape[0], 2 * c), precision)
+    # [nd, 2C]: columns [:C] = mixed I, [C:] = mixed Q
 
     if not split:
         return y, y, new_history

@@ -59,12 +59,18 @@ def _shard_body(cfg: ChannelizedConfig, t_shards: int, params, state, iq_local):
     iq_halo = lax.ppermute(iq_local[:, iq_local.shape[-1] - (kp - 1):],
                            "time", perm)
     pfb_hist = jnp.where(tidx == 0, state.pfb_hist, iq_halo)
-    from ..pipeline.channelized import _pfb_prec
+    from ..pipeline.channelized import _channelize_tm, _pfb_prec
 
-    chan_in, pfb_hist_local = pfb_channelize_direct(
-        iq_local, params.pfb_weights, cfg.num_bins, pfb_hist,
-        precision=_pfb_prec(cfg),
-    )  # [2, C_local, nd_local]
+    if params.pfb_weights_split is not None:
+        y2, _, pfb_hist_local = _channelize_tm(cfg, params, pfb_hist,
+                                               iq_local, split=False)
+        cl = params.pfb_weights_split.shape[2] // 2
+        chan_in = jnp.stack([y2[:, :cl].T, y2[:, cl:].T])
+    else:
+        chan_in, pfb_hist_local = pfb_channelize_direct(
+            iq_local, params.pfb_weights, cfg.num_bins, pfb_hist,
+            precision=_pfb_prec(cfg),
+        )  # [2, C_local, nd_local]
     new_pfb_hist = _from_last(pfb_hist_local, tidx, t_shards)
 
     # ---- residual NCO: closed-form start phase per shard
@@ -151,12 +157,11 @@ def _shard_body_tm(cfg: ChannelizedConfig, t_shards: int, c_shards: int,
     iq_halo = lax.ppermute(iq_local[:, iq_local.shape[-1] - (kp - 1):],
                            "time", perm)
     pfb_hist = jnp.where(tidx == 0, state.pfb_hist, iq_halo)
-    from ..pipeline.channelized import _pfb_prec
+    from ..pipeline.channelized import _channelize_tm
 
-    ci, cq, pfb_hist_local = pfb_channelize_direct_tm(
-        iq_local, params.pfb_weights, cfg.num_bins, pfb_hist,
-        precision=_pfb_prec(cfg),
-    )  # [nd_local, C_local]
+    ci, cq, pfb_hist_local = _channelize_tm(cfg, params, pfb_hist,
+                                            iq_local, split=True)
+    # [nd_local, C_local]
     new_pfb_hist = _from_last(pfb_hist_local, tidx, t_shards)
 
     # ---- residual NCO start phase per shard (closed form, no comms)
@@ -346,6 +351,10 @@ def _sharded_smapped(cfg: ChannelizedConfig, mesh: Mesh):
         squelch=P("chan"),
         chan_toep=P(None, None),  # tiny shared band matrix, replicated
         audio_toep=P(None, None),
+        # present iff pfb_precision == "u8exact" (host-split bf16 pair);
+        # sharded like pfb_weights on the channel axis
+        pfb_weights_split=(P(None, None, "chan")
+                           if cfg.pfb_precision == "u8exact" else None),
     )
     state_spec = ChannelizedState(
         pfb_hist=P(None, None),  # tiny, replicated

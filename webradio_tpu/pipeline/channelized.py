@@ -83,7 +83,10 @@ class ChannelizedConfig:
     #: batch is large enough that the kernel's single HBM round-trip
     #: beats XLA's wide fusions (see PALLAS_TM_AUTO_THRESHOLD).
     tail_kernel: str = "auto"
-    #: filterbank matmul precision: "highest" (bf16x6, float32-exact —
+    #: filterbank matmul precision: "u8exact" (2-pass split-weight law:
+    #: float32-rounding-accurate for 8-bit-sourced signals — ALL real
+    #: RTL2832U data — at 1/3 the passes of "highest"; ~70 dB for
+    #: synthetic float32 sources), "highest" (bf16x6, float32-exact —
     #: the DEFAULT: end-to-end audio measures ~146 dB vs float64 on FM
     #: tones, the reference chain's own quality), "high" (bf16x3,
     #: ~63 dB), or "default" (one bf16 MXU pass, ~31 dB on FM tones —
@@ -99,7 +102,7 @@ class ChannelizedConfig:
 
     _FIR_PRECISIONS = ("highest", "high")
     _TAIL_KERNELS = ("auto", "xla", "pallas", "pallas_pfb")
-    _PFB_PRECISIONS = ("default", "high", "highest")
+    _PFB_PRECISIONS = ("default", "high", "highest", "u8exact")
 
     def __post_init__(self):
         if self.sample_rate % self.channel_rate:
@@ -123,6 +126,11 @@ class ChannelizedConfig:
         if self.pfb_precision not in self._PFB_PRECISIONS:
             raise ValueError(
                 f"pfb_precision must be one of {self._PFB_PRECISIONS}"
+            )
+        if self.tail_kernel == "pallas_pfb" and self.pfb_precision == "u8exact":
+            raise ValueError(
+                "tail_kernel='pallas_pfb' does not implement the u8exact "
+                "split-weight law; use the default packed path"
             )
         if self.fir_design not in ("reference", "sinc"):
             raise ValueError("fir_design must be 'reference' or 'sinc'")
@@ -167,6 +175,11 @@ class ChannelizedParams(NamedTuple):
     #: diverges a channel's bandwidth recompiles once.
     chan_toep: jnp.ndarray | None = None  # [span1, T1] float32, span=(T-1)D+K
     audio_toep: jnp.ndarray | None = None  # [span2, T2] float32
+    #: host-split bf16 hi/lo filterbank weights ([2, 2K_p, 2C], see
+    #: ops.channelizer.split_weights_u8), present iff
+    #: cfg.pfb_precision == "u8exact" — the split MUST be precomputed
+    #: (an in-jit derivation is simplified away by XLA)
+    pfb_weights_split: jnp.ndarray | None = None
 
 
 class ChannelizedState(NamedTuple):
@@ -240,8 +253,12 @@ def make_channelized_params(
         w = ops.maybe_toeplitz_weights(coeff_rows, decimation, nd_out)
         return None if w is None else jnp.asarray(w)
 
+    from ..ops.channelizer import split_weights_u8
+
     return ChannelizedParams(
         pfb_weights=jnp.asarray(weights),
+        pfb_weights_split=(split_weights_u8(weights)
+                           if cfg.pfb_precision == "u8exact" else None),
         residual_step=jnp.asarray(steps),
         chan_coeff=jnp.asarray(chan),
         audio_coeff=jnp.asarray(audio),
@@ -295,6 +312,36 @@ def grow_channelized_state(
     )
 
 
+def _channelize_tm(cfg, params, pfb_hist, iq, split):
+    """Route the wideband stage: the u8exact split-weight product when
+    the host-split weights are present, else the precision-tiered f32
+    matmul.
+
+    The split law is a TPU MXU trade (2 bf16 passes vs 6); other
+    backends compute float32 natively, where bf16 is EMULATED and slow
+    (measured: a CPU server at stock rates drops from 3.9x real time to
+    0.56x) — there the u8exact tier simply runs the f32 product at
+    HIGHEST, which is numerically >= the split law anyway."""
+    if params.pfb_weights_split is not None:
+        import jax as _jax
+
+        if _jax.default_backend() == "tpu":
+            from ..ops.channelizer import pfb_channelize_direct_tm_u8
+
+            return pfb_channelize_direct_tm_u8(
+                iq, params.pfb_weights_split, cfg.num_bins, pfb_hist,
+                split=split,
+            )
+        return pfb_channelize_direct_tm(
+            iq, params.pfb_weights, cfg.num_bins, pfb_hist, split=split,
+            precision=_jax.lax.Precision.HIGHEST,
+        )
+    return pfb_channelize_direct_tm(
+        iq, params.pfb_weights, cfg.num_bins, pfb_hist, split=split,
+        precision=_pfb_prec(cfg),
+    )
+
+
 def _pfb_prec(cfg: ChannelizedConfig):
     """Filterbank matmul precision (cfg.pfb_precision -> lax.Precision).
 
@@ -302,6 +349,8 @@ def _pfb_prec(cfg: ChannelizedConfig):
     so the "pallas_pfb" and packed paths stay numerically aligned."""
     import jax as _jax
 
+    if cfg.pfb_precision == "u8exact":
+        return "u8exact"  # split-weight 2-pass law, ops.channelizer._pfb_dot
     return {
         "default": _jax.lax.Precision.DEFAULT,
         "high": _jax.lax.Precision.HIGH,
@@ -418,9 +467,8 @@ def channelized_step(
                 # kernel addressing the [nd, 2C] product in place —
                 # measured faster than in-kernel filterbank fusion on
                 # v5e at every C (the step is compute-bound)
-                ci, cq, pfb_hist = pfb_channelize_direct_tm(
-                    iq, params.pfb_weights, cfg.num_bins, state.pfb_hist,
-                    split=False, precision=_pfb_prec(cfg),
+                ci, cq, pfb_hist = _channelize_tm(
+                    cfg, params, state.pfb_hist, iq, split=False,
                 )
                 audio_tm48, hist_i, hist_q, demod_prev, ahist, power = (
                     fused_tail_audio_tm(
@@ -434,9 +482,8 @@ def channelized_step(
                 )
                 audio, audio_hist_tm = audio_tm48, ahist
             else:
-                ci, cq, pfb_hist = pfb_channelize_direct_tm(
-                    iq, params.pfb_weights, cfg.num_bins, state.pfb_hist,
-                    split=False, precision=_pfb_prec(cfg),
+                ci, cq, pfb_hist = _channelize_tm(
+                    cfg, params, state.pfb_hist, iq, split=False,
                 )
                 audio_tm, hist_i, hist_q, demod_prev, power = fused_tail_tm(
                     ci, cq, state.nco_phase, params.residual_step,
@@ -447,9 +494,8 @@ def channelized_step(
                 )
             chan_hist_new = jnp.stack([hist_i.T, hist_q.T])
         else:
-            ci, cq, pfb_hist = pfb_channelize_direct_tm(
-                iq, params.pfb_weights, cfg.num_bins, state.pfb_hist,
-                precision=_pfb_prec(cfg),
+            ci, cq, pfb_hist = _channelize_tm(
+                cfg, params, state.pfb_hist, iq, split=True,
             )
             mix_tm = ops.nco_mix_tm_fast if cfg.fast_nco else ops.nco_mix_tm
             mi, mq = mix_tm(ci, cq, state.nco_phase, params.residual_step)
@@ -490,10 +536,16 @@ def channelized_step(
         )
         return new_state, audio, spectra
 
-    chan_in, pfb_hist = pfb_channelize_direct(
-        iq, params.pfb_weights, cfg.num_bins, state.pfb_hist,
-        precision=_pfb_prec(cfg),
-    )  # [2, C, nd] — wideband stage is one MXU matmul
+    if params.pfb_weights_split is not None:
+        y2, _, pfb_hist = _channelize_tm(cfg, params, state.pfb_hist, iq,
+                                         split=False)
+        c_ = cfg.num_channels
+        chan_in = jnp.stack([y2[:, :c_].T, y2[:, c_:].T])
+    else:
+        chan_in, pfb_hist = pfb_channelize_direct(
+            iq, params.pfb_weights, cfg.num_bins, state.pfb_hist,
+            precision=_pfb_prec(cfg),
+        )  # [2, C, nd] — wideband stage is one MXU matmul
 
     if cfg.use_pallas_tail:
         from ..ops.pallas_tail import fused_receiver_tail
