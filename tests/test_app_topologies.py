@@ -303,3 +303,35 @@ def test_unwatched_receivers_never_fetch_audio(monkeypatch, tmp_path):
         a.close()
         Radio.reset()
         AudioStreamManager.reset()
+
+
+def test_hardware_driver_defaults_to_u8exact_filterbank():
+    """Hardware tuners (8-bit sample sources) default the filterbank to
+    the u8exact law — reference-quality arithmetic at a third of the
+    MXU passes — while synthetic float32 sources keep the universal
+    float32-exact tier."""
+    from webradio_tpu.app import RadioApp
+
+    Radio.reset()
+    AudioStreamManager.reset()
+    config = {
+        "server": {"port": 0, "host": "127.0.0.1"},
+        "tuners": [
+            {"driver": "tone", "sample_rate": 256_000,
+             "channel_rate": 32_000, "audio_rate": 8_000,
+             "block_frames": 8_192, "capacity": 2},
+            {"driver": "rtltcp", "subdevice": "127.0.0.1:1",
+             "sample_rate": 256_000, "channel_rate": 32_000,
+             "audio_rate": 8_000, "block_frames": 8_192, "capacity": 2},
+        ],
+        "receivers": [],
+    }
+    a = RadioApp(config)
+    try:
+        a.build()
+        assert a.front_ends[0].pfb_precision == "highest"
+        assert a.front_ends[1].pfb_precision == "u8exact"
+    finally:
+        a.close()
+        Radio.reset()
+        AudioStreamManager.reset()

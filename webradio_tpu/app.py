@@ -196,11 +196,17 @@ class RadioApp:
                 block_frames=tcfg.get("block_frames", 102_400),
                 fir_design=tcfg.get("fir_design", "reference"),
             )
+            # hardware drivers deliver 8-bit samples, where the u8exact
+            # filterbank law gives reference-quality arithmetic at a
+            # third of the MXU cost — make it their default; synthetic
+            # float32 sources default to the universal float32-exact tier
+            default_pfb = ("u8exact" if tcfg.get("driver") in
+                           ("rtlsdr", "rtltcp") else "highest")
             fe = FrontEnd(tuner, chain, capacity=tcfg.get("capacity", 4),
                           engine=tcfg.get("engine", "auto"),
                           fir_precision=tcfg.get("fir_precision", "highest"),
                           pfb_precision=tcfg.get("pfb_precision",
-                                                 "highest"))
+                                                 default_pfb))
             self.front_ends.append(fe)
         for rcfg in self.config.get("receivers", []):
             rx = Receiver()
