@@ -291,3 +291,39 @@ def test_sharded_pallas_tail_matches_xla_body(rng):
     # the halo recompute is BIT-consistent with the fused kernel's carries
     for f_p, f_x in zip(fe_p.state, fe_x.state):
         np.testing.assert_array_equal(np.asarray(f_p), np.asarray(f_x))
+
+
+def test_sharded_u8exact_params_route(rng):
+    """pfb_precision="u8exact" threads through the sharded step: the
+    split-weight params leaf shards on the channel axis and the sharded
+    audio equals the single-device step (off-TPU both route through the
+    f32 fallback — this pins the pytree/spec plumbing and parity)."""
+    from webradio_tpu.pipeline.channelized import (
+        ChannelizedConfig,
+        channelized_step,
+        init_channelized_state,
+        make_channelized_params,
+    )
+    from webradio_tpu.parallel import make_mesh
+    from webradio_tpu.parallel.sharded_channelized import (
+        ShardedChannelizedFrontEnd,
+    )
+
+    cfg = ChannelizedConfig(
+        sample_rate=1_024_000, channel_rate=128_000, audio_rate=32_000,
+        block_frames=16_384, num_channels=8, pfb_precision="u8exact",
+    )
+    ifs = [((i % 8) - 4) * 100_000 for i in range(8)]
+    params = make_channelized_params(cfg, ifs, 80_000, 8_000, "FM")
+    assert params.pfb_weights_split is not None
+
+    raw = rng.integers(0, 256, (2, cfg.block_frames)).astype(np.float32)
+    iq = jnp.asarray((raw - 128.0) / 128.0)
+
+    fe = ShardedChannelizedFrontEnd(cfg, params, make_mesh(2, 4))
+    sh_audio, _ = fe.process(iq)
+
+    s0 = init_channelized_state(cfg)
+    _, ref_audio, _ = channelized_step(cfg, params, s0, iq)
+    np.testing.assert_allclose(np.asarray(sh_audio), np.asarray(ref_audio),
+                               atol=3e-6)

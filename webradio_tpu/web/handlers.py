@@ -125,6 +125,9 @@ class StatusHandler(HttpRequestHandler):
                 "channel_capacity": fe.cfg.num_channels,
                 "engine": ("channelized" if fe._use_channelized()
                            else "direct"),
+                # arithmetic quality tiers (BASELINE.md measured SNRs)
+                "fir_precision": fe.fir_precision,
+                "pfb_precision": fe.pfb_precision,
                 "receivers": sorted(fe.receivers),
             }
         return self.send_json(
