@@ -425,3 +425,40 @@ def test_u8exact_step_matches_highest_on_u8_input(rng):
         s_u, a_u, _ = channelized_step(cfg_u, p_u, s_u, blk)
         np.testing.assert_allclose(np.asarray(a_u), np.asarray(a_h),
                                    atol=2e-4)
+
+
+def test_u8exact_channel_shard_slices(rng):
+    """The split-weight tensor's channel axis (axis 3) slices into valid
+    per-shard operands — the invariant the sharded spec
+    P(None, None, None, "chan") relies on: running the u8 product on a
+    contiguous half of the channels equals the corresponding output
+    columns of the full product. (A [.., 2C]-packed layout broke this:
+    contiguous shards then received all-I / all-Q column blocks.)"""
+    from webradio_tpu.ops.channelizer import (
+        bin_weights_for_channels,
+        design_prototype,
+        pfb_channelize_direct_tm_u8,
+        split_weights_u8,
+    )
+
+    nbins, tpp, c = 8, 16, 16
+    kp = nbins * tpp
+    proto = design_prototype(1_024_000, nbins, tpp)
+    w = bin_weights_for_channels(
+        proto, nbins, (np.arange(c) % nbins).astype(np.int32))
+    ws = split_weights_u8(w)
+    assert ws.shape == (2, 2 * kp, 2, c)
+    hist = jnp.zeros((2, kp - 1), jnp.float32)
+    raw = rng.integers(0, 256, (2, 4096)).astype(np.float32)
+    x = jnp.asarray((raw - 128.0) / 128.0)
+
+    fi, fq, _ = pfb_channelize_direct_tm_u8(x, ws, nbins, hist)
+    for lo, hi in ((0, c // 2), (c // 2, c)):
+        si, sq, _ = pfb_channelize_direct_tm_u8(
+            x, ws[:, :, :, lo:hi], nbins, hist)
+        # rounding-near (gemm blocking differs across output widths);
+        # the broken packed layout produced O(1) garbage here
+        np.testing.assert_allclose(np.asarray(si),
+                                   np.asarray(fi)[:, lo:hi], atol=2e-6)
+        np.testing.assert_allclose(np.asarray(sq),
+                                   np.asarray(fq)[:, lo:hi], atol=2e-6)

@@ -96,6 +96,7 @@ def _merge_state(config: dict, saved: dict) -> dict:
                 # None = gate disabled; a restart must restore a squelched
                 # receiver squelched (VERDICT r2 #7)
                 "squelch_threshold": r.get("squelch_threshold"),
+                "audio_sink": r.get("audio_sink"),
             }
             for r in saved["receivers"]
         ]
@@ -162,6 +163,7 @@ class RadioApp:
                     "demodulator": rx.demodulator,
                     "af_gain": rx.af_gain,
                     "squelch_threshold": rx.squelch_threshold,
+                    "audio_sink": getattr(rx, "audio_sink_spec", None),
                 }
             )
         return {"tuners": tuners, "receivers": receivers}
@@ -224,6 +226,9 @@ class RadioApp:
                     sink_spec,
                     self.front_ends[rcfg.get("tuner", 0)].cfg.audio_rate,
                 )
+                # remembered for the checkpoint: the merge rebuilds the
+                # receiver list wholesale, so the binding must round-trip
+                rx.audio_sink_spec = sink_spec
             rx.set_front_end(self.front_ends[rcfg.get("tuner", 0)])
             self.receivers.append(rx)
 

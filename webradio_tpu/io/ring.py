@@ -87,10 +87,12 @@ class CaptureThread(threading.Thread):
         super().__init__(daemon=True, name="capture")
         self.tuner = tuner
         self.ring = ring
-        self._stop = threading.Event()
+        # NOT named _stop: that would shadow threading.Thread's private
+        # _stop() method, which Thread.join() calls internally
+        self._stop_evt = threading.Event()
 
     def run(self) -> None:
-        while not self._stop.is_set():
+        while not self._stop_evt.is_set():
             block = self.tuner.read_block()
             if block is None:
                 break
@@ -98,4 +100,4 @@ class CaptureThread(threading.Thread):
         self.ring.close()
 
     def stop(self) -> None:
-        self._stop.set()
+        self._stop_evt.set()

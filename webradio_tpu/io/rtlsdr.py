@@ -120,13 +120,17 @@ class _RtlSdrSource(SampleSource):
         self._lock = threading.Lock()
 
     def read_block(self) -> np.ndarray | None:
-        dev = self._tuner._dev
-        if dev is None:
-            return None
         need = self.block_frames * 2
         buf = ctypes.create_string_buffer(need)
         n_read = ctypes.c_int(0)
+        # the device handle is checked and used UNDER the lock: stop()
+        # acquires the same lock before rtlsdr_close, so the handle can
+        # never be freed while a synchronous USB transfer is in flight
+        # (a close-during-read is native undefined behavior)
         with self._lock:
+            dev = self._tuner._dev
+            if dev is None or self._tuner._closing:
+                return None
             rc = _LIB.rtlsdr_read_sync(dev, buf, need,
                                        ctypes.byref(n_read))
         if rc != 0 or n_read.value < need:
@@ -152,6 +156,7 @@ class RtlSdrTuner(Tuner):
 
     def __init__(self, subdevice: str = ""):
         self._dev = None
+        self._closing = False
         self._requested_serial = subdevice
         self.xtal_hz = 0
         self.tuner_xtal_hz = 0
@@ -234,8 +239,22 @@ class RtlSdrTuner(Tuner):
         return self.source.start()
 
     def stop(self) -> None:
-        super().stop()
-        self._close()
+        # sequence: flag the capture loop off, stop the source, then
+        # close the device UNDER the source's read lock — an in-flight
+        # rtlsdr_read_sync (<= one 42.7 ms block) finishes first, so the
+        # handle is never freed mid-transfer (the reference cancels its
+        # async reader and joins before closing, rtlsdrtuner.cxx:253-263)
+        self._closing = True
+        try:
+            super().stop()
+            lock = getattr(self.source, "_lock", None)
+            if lock is not None:
+                with lock:
+                    self._close()
+            else:
+                self._close()
+        finally:
+            self._closing = False
 
     # ---- readback ----------------------------------------------------
     @property

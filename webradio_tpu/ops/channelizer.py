@@ -216,19 +216,22 @@ def _pfb_dot(f2, w2, precision):
 
 def split_weights_u8(weights: np.ndarray) -> jnp.ndarray:
     """Host-side bf16 hi/lo split of the filterbank weights:
-    ``[2, 2 K_p, 2 C]`` bfloat16 with ``w ~= hi + lo``.
+    ``[2, 2 K_p, 2, C]`` bfloat16 with ``w ~= hi + lo``.
 
     The operand of the u8exact 2-pass filterbank product
-    (:func:`pfb_channelize_direct_tm_u8`). Computed EAGERLY: the same
-    round-trip expressed inside a jitted function gets simplified by
-    XLA into a single bf16 rounding, silently dropping the low part
-    (measured on v5e: in-jit split == DEFAULT one-pass error, host
-    split == ~2e-6 rel, 1/3 of HIGHEST's passes)."""
-    w = jnp.asarray(np.asarray(weights, np.float32))
-    w = w.reshape(w.shape[0], -1)
+    (:func:`pfb_channelize_direct_tm_u8`). The channel axis stays LAST
+    and separate (same layout as ``pfb_weights``) so the sharded step
+    can partition it with ``P(None, None, None, "chan")`` — a packed
+    ``[.., 2C]`` layout would hand contiguous channel shards all-I /
+    all-Q column blocks. Computed EAGERLY: the same round-trip expressed
+    inside a jitted function gets simplified by XLA into a single bf16
+    rounding, silently dropping the low part (measured on v5e: in-jit
+    split == DEFAULT one-pass error, host split == ~2e-6 rel, 1/3 of
+    HIGHEST's passes)."""
+    w = jnp.asarray(np.asarray(weights, np.float32))  # [2K_p, 2, C]
     hi = w.astype(jnp.bfloat16)
     lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return jnp.stack([hi, lo])
+    return jnp.stack([hi, lo])  # [2, 2K_p, 2, C]
 
 
 @functools.partial(jax.jit, static_argnames=("decimation", "split"))
@@ -241,8 +244,8 @@ def pfb_channelize_direct_tm_u8(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """:func:`pfb_channelize_direct_tm` via the u8exact split-weight law.
 
-    ``weights_split`` is :func:`split_weights_u8`'s ``[2, 2 K_p, 2 C]``
-    bfloat16 pair. The frames round to bf16 — LOSSLESS whenever the
+    ``weights_split`` is :func:`split_weights_u8`'s ``[2, 2 K_p, 2, C]``
+    bfloat16 pair (channel axis last, as in ``pfb_weights``). The frames round to bf16 — LOSSLESS whenever the
     input is 8-bit-sourced, which all real RTL2832U data is
     (u8 -> (x-128)/128 spans 256 values, each exact in bf16's 8-bit
     mantissa; rtlsdrtuner.cxx:92-95) — and one doubled-contraction bf16
@@ -253,11 +256,12 @@ def pfb_channelize_direct_tm_u8(
     a ~bf16-of-input term (~70 dB), still far above the one-pass
     DEFAULT tier."""
     kp2 = weights_split.shape[1]
-    c = weights_split.shape[2] // 2
+    c = weights_split.shape[3]
     f2, new_history = pfb_frames_tm(x, kp2 // 2, decimation, history)
     fb = f2.astype(jnp.bfloat16)
     fcat = jnp.concatenate([fb, fb], axis=1)  # [nd, 4 K_p]
-    wcat = jnp.concatenate([weights_split[0], weights_split[1]], axis=0)
+    w2 = weights_split.reshape(2, kp2, 2 * c)  # local [I cols | Q cols]
+    wcat = jnp.concatenate([w2[0], w2[1]], axis=0)
     y = jax.lax.dot_general(
         fcat, wcat, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -284,41 +288,13 @@ def pfb_channelize_direct(
     are concatenated along the contraction axis, so no recombination pass
     touches the ``[2, C, nd]`` output again.
     """
-    d = int(decimation)
     kp = weights.shape[0] // 2
-    n = x.shape[-1]
-    if n % d:
-        raise ValueError("block length must be a multiple of the decimation")
-    nd = n // d
-
-    xext = jnp.concatenate([history, x], axis=-1)  # [2, N + K_p - 1]
-    # Phase decomposition: one strided relayout instead of K_p lane-strided
-    # slices (which are pathologically slow on TPU — see fir.py). With
-    # phases[., p, i] = xext[., i*d + p], tap k's frame
-    # F[., m, k] = xext[., (K_p-1-k) + m*d] is the contiguous slice
-    # phases[., p, q:q+nd] where q*d + p = K_p-1-k.
-    pad = (-xext.shape[-1]) % d
-    xp = jnp.pad(xext, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-    l = xp.shape[-1]
-    phases = jnp.swapaxes(xp.reshape(x.shape[:-1] + (l // d, d)), -1, -2)
-    frames = []
-    for k in range(kp):
-        q, p = divmod(kp - 1 - k, d)
-        frames.append(
-            lax.slice_in_dim(
-                lax.index_in_dim(phases, p, axis=-2, keepdims=False),
-                q, q + nd, axis=-1,
-            )
-        )
-    f = jnp.stack(frames, axis=-1)  # [2, nd, K_p]
-    f2 = jnp.concatenate([f[0], f[1]], axis=-1)  # [nd, 2 K_p]
-
-    y = _pfb_dot(
-        f2, weights.reshape(weights.shape[0], -1), precision
-    ).reshape(f2.shape[0], 2, weights.shape[-1])  # [nd, 2, C]
+    c = weights.shape[-1]
+    f2, new_history = pfb_frames_tm(x, kp, decimation, history)
+    y = _pfb_dot(f2, weights.reshape(weights.shape[0], 2 * c),
+                 precision).reshape(f2.shape[0], 2, c)  # [nd, 2, C]
 
     out = y.transpose(1, 2, 0)  # [2, C, nd]
-    new_history = x[..., n - (kp - 1):]
     return out, new_history
 
 

@@ -147,7 +147,7 @@ def fused_receiver_tail(
     raw_hist: jax.Array,
     demod_prev: jax.Array,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused mix+FIR+demod over ``[2, C, nd]`` selected-bin planes.
 
     Args:

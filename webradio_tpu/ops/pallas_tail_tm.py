@@ -268,7 +268,7 @@ def fused_tail_tm(
     precision: lax.Precision = lax.Precision.HIGHEST,
     packed: bool = False,
     fast: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused mix+FIR+demod over time-major planes.
 
     Args:
@@ -600,7 +600,8 @@ def fused_tail_audio_tm(
     precision: lax.Precision = lax.Precision.HIGHEST,
     packed: bool = False,
     fast: bool = False,
-) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array,
+           jax.Array]:
     """:func:`fused_tail_tm` extended through the decimating audio FIR.
 
     The channel-rate audio plane ([nd, C], the largest intermediate of

@@ -64,7 +64,7 @@ def _shard_body(cfg: ChannelizedConfig, t_shards: int, params, state, iq_local):
     if params.pfb_weights_split is not None:
         y2, _, pfb_hist_local = _channelize_tm(cfg, params, pfb_hist,
                                                iq_local, split=False)
-        cl = params.pfb_weights_split.shape[2] // 2
+        cl = params.pfb_weights_split.shape[3]
         chan_in = jnp.stack([y2[:, :cl].T, y2[:, cl:].T])
     else:
         chan_in, pfb_hist_local = pfb_channelize_direct(
@@ -351,9 +351,11 @@ def _sharded_smapped(cfg: ChannelizedConfig, mesh: Mesh):
         squelch=P("chan"),
         chan_toep=P(None, None),  # tiny shared band matrix, replicated
         audio_toep=P(None, None),
-        # present iff pfb_precision == "u8exact" (host-split bf16 pair);
-        # sharded like pfb_weights on the channel axis
-        pfb_weights_split=(P(None, None, "chan")
+        # present iff pfb_precision == "u8exact" (host-split bf16 pair,
+        # [2, 2K_p, 2, C] — channel axis LAST and separate, so this spec
+        # slices real channels; a packed [.., 2C] layout would give
+        # shards all-I / all-Q column blocks)
+        pfb_weights_split=(P(None, None, None, "chan")
                            if cfg.pfb_precision == "u8exact" else None),
     )
     state_spec = ChannelizedState(

@@ -175,7 +175,7 @@ class ChannelizedParams(NamedTuple):
     #: diverges a channel's bandwidth recompiles once.
     chan_toep: jnp.ndarray | None = None  # [span1, T1] float32, span=(T-1)D+K
     audio_toep: jnp.ndarray | None = None  # [span2, T2] float32
-    #: host-split bf16 hi/lo filterbank weights ([2, 2K_p, 2C], see
+    #: host-split bf16 hi/lo filterbank weights ([2, 2K_p, 2, C], see
     #: ops.channelizer.split_weights_u8), present iff
     #: cfg.pfb_precision == "u8exact" — the split MUST be precomputed
     #: (an in-jit derivation is simplified away by XLA)

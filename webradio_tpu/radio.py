@@ -465,6 +465,7 @@ class FrontEnd:
         self._capture.start()
         self.running = True
         self.started_monotonic = time.monotonic()
+        self._blocks_at_start = self.block_count
         # Background-compile the alternate parameter STRUCTURES (shared
         # Toeplitz FIR weights present/absent). A control write that first
         # diverges one receiver's bandwidth from the others flips the
@@ -707,7 +708,13 @@ class FrontEnd:
         self.running = False
         if self._capture:
             self._capture.stop()
+        # tuner.stop() unblocks any in-flight read (socket close /
+        # device close under the read lock); join the capture thread
+        # afterwards so no reader ever outlives its device handle
         self.tuner.stop()
+        if self._capture:
+            self._capture.join(timeout=5.0)
+            self._capture = None
         self.ring.close()
 
     # ---- the block pump ---------------------------------------------
@@ -859,14 +866,16 @@ class FrontEnd:
         (the reference's real-time contract is exactly "no capture
         overruns", rtlsdrtuner.cxx:99-102). Unlike the sampled
         ns_per_frame, this is immune to host-link round-trip latency."""
-        if not self.running or self.block_count == 0:
+        blocks = self.block_count - getattr(self, "_blocks_at_start", 0)
+        if not self.running or blocks <= 0:
             return None
         elapsed = time.monotonic() - self.started_monotonic
         if elapsed <= 0:
             return None
-        signal_s = self.block_count * (
-            self.cfg.block_frames / self.cfg.sample_rate
-        )
+        # blocks since THIS start only: carrying history across a
+        # stop/start cycle would report an inflated factor that masks
+        # real-time failures after a restart
+        signal_s = blocks * (self.cfg.block_frames / self.cfg.sample_rate)
         return signal_s / elapsed
 
     def close(self) -> None:

@@ -79,6 +79,11 @@ class _Mount:
         self.sample_rate = sample_rate
         self.encoders: dict[str, object] = {}
         self.consumers: list[StreamConsumer] = []
+        #: set (under lock) by drop_mountpoint after it pops the mount
+        #: from the registry: publishes become no-ops and a racing
+        #: subscribe retries against a fresh registry entry instead of
+        #: appending to an orphan nobody will ever publish to again
+        self.closed = False
 
 
 class AudioStreamManager:
@@ -115,7 +120,7 @@ class AudioStreamManager:
         if mount is None:
             return
         with mount.lock:
-            if not mount.consumers:
+            if mount.closed or not mount.consumers:
                 return
             mount.sample_rate = sample_rate
             by_fmt: dict[str, list[StreamConsumer]] = {}
@@ -137,19 +142,25 @@ class AudioStreamManager:
         """Register a client; raises KeyError for unsupported formats."""
         # probe the format eagerly so a bad extension 404s before streaming
         consumer = StreamConsumer(mountpoint, fmt)
-        with cls._lock:
-            mount = cls._mounts.get(mountpoint)
-            if mount is None:
-                mount = _Mount(sample_rate)
-                cls._mounts[mountpoint] = mount
-        with mount.lock:
-            if fmt not in mount.encoders:
-                mount.encoders[fmt] = make_encoder(fmt, mount.sample_rate)
-            header = mount.encoders[fmt].header()
-            if header:
-                consumer.push(header)
-            mount.consumers.append(consumer)
-        return consumer
+        while True:
+            with cls._lock:
+                mount = cls._mounts.get(mountpoint)
+                if mount is None:
+                    mount = _Mount(sample_rate)
+                    cls._mounts[mountpoint] = mount
+            with mount.lock:
+                if mount.closed:
+                    # lost the race with drop_mountpoint between the two
+                    # locks; the registry entry is gone — start over
+                    continue
+                if fmt not in mount.encoders:
+                    mount.encoders[fmt] = make_encoder(fmt,
+                                                       mount.sample_rate)
+                header = mount.encoders[fmt].header()
+                if header:
+                    consumer.push(header)
+                mount.consumers.append(consumer)
+            return consumer
 
     @classmethod
     def unsubscribe(cls, consumer: StreamConsumer) -> None:
@@ -170,6 +181,7 @@ class AudioStreamManager:
             mount = cls._mounts.pop(mountpoint, None)
         if mount is not None:
             with mount.lock:
+                mount.closed = True  # publishes/racing subscribes bail
                 # deliver each format's final partial frame (LAME flush)
                 # before ending the streams — finite recordings keep
                 # their tail (VERDICT r2 weak #8)
@@ -180,6 +192,7 @@ class AudioStreamManager:
                     if tail:
                         c.push(tail)
                     c.close()
+                mount.consumers.clear()
 
     @classmethod
     def stats(cls) -> dict:
