@@ -402,7 +402,8 @@ def accuracy() -> int:
         ref = f64_reference(np.asarray(x, np.float64))
         for fir_p, pfb_p in (("highest", "default"), ("highest", "high"),
                              ("highest", "highest"), ("high", "default"),
-                             ("high", "high"), ("highest", "u8exact")):
+                             ("high", "high"), ("highest", "u8exact"),
+                             ("high", "u8exact")):
             cfg = ChannelizedConfig(num_channels=c, fir_precision=fir_p,
                                     pfb_precision=pfb_p)
             params = make_channelized_params(cfg, ifs, 80_000, 8_000, "FM")

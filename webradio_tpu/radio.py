@@ -32,8 +32,9 @@ from .ops.demod import MODES
 #: channel batch is wide enough that per-channel wideband mixing dominates
 CHANNELIZED_AUTO_THRESHOLD = 16
 
-#: every Nth live block is forced to completion and timed (true device-step
-#: latency for /status); other blocks keep the one-block pipelining overlap
+#: every Nth live block's dispatch->completion latency is sampled for
+#: /status — on a side thread, so the pump never blocks on the fetch
+#: (see FrontEnd._sample_step_async)
 PROFILE_SAMPLE_EVERY = 16
 
 #: ring backlog that triggers the catch-up scan (and the blocks per scanned
