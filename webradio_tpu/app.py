@@ -247,17 +247,26 @@ class RadioApp:
         )
 
         kind, _, arg = spec.partition(":")
-        if kind == "pulse":
-            if not pulse_available():
-                log.warning(
-                    "audio_sink %r ignored: libpulse-simple not available",
-                    spec,
-                )
-                return None
-            return PulseAudioSink(sample_rate=audio_rate,
-                                  device=arg or None)
-        if kind == "file" and arg:
-            return FileAudioSink(arg, sample_rate=audio_rate)
+        try:
+            if kind == "pulse":
+                if not pulse_available():
+                    log.warning(
+                        "audio_sink %r ignored: libpulse-simple not "
+                        "available", spec,
+                    )
+                    return None
+                return PulseAudioSink(sample_rate=audio_rate,
+                                      device=arg or None)
+            if kind == "file" and arg:
+                return FileAudioSink(arg, sample_rate=audio_rate)
+        except Exception as e:
+            # degrade, never abort startup: a dead PulseAudio daemon or
+            # an unwritable path must not brick the radio (and the spec
+            # round-trips through checkpoints, so a raise here would
+            # break every subsequent restart too)
+            log.warning("audio_sink %r failed to open (%s); ignored",
+                        spec, e)
+            return None
         log.warning("unknown audio_sink %r ignored", spec)
         return None
 

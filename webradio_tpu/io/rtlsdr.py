@@ -114,29 +114,42 @@ class _RtlSdrSource(SampleSource):
     plays the role of the reference's USB async thread; backpressure is
     the BlockRing's drop-with-log (rtlsdrtuner.cxx:99-102)."""
 
+    #: consecutive failed reads tolerated before declaring end-of-stream
+    #: (the reference's async model logs overruns and keeps streaming,
+    #: rtlsdrtuner.cxx:99-102; one USB hiccup must not kill capture)
+    MAX_CONSECUTIVE_FAILURES = 10
+
     def __init__(self, tuner: "RtlSdrTuner"):
         super().__init__()
         self._tuner = tuner
-        self._lock = threading.Lock()
+        self._fail_count = 0
 
     def read_block(self) -> np.ndarray | None:
         need = self.block_frames * 2
         buf = ctypes.create_string_buffer(need)
         n_read = ctypes.c_int(0)
-        # the device handle is checked and used UNDER the lock: stop()
-        # acquires the same lock before rtlsdr_close, so the handle can
-        # never be freed while a synchronous USB transfer is in flight
-        # (a close-during-read is native undefined behavior)
-        with self._lock:
+        # the device handle is checked and used UNDER the tuner's device
+        # lock: stop() and every control setter take the same lock, so
+        # the handle can never be freed (or written) while a synchronous
+        # USB transfer is in flight (close-during-read is native UB)
+        with self._tuner._dev_lock:
             dev = self._tuner._dev
             if dev is None or self._tuner._closing:
                 return None
             rc = _LIB.rtlsdr_read_sync(dev, buf, need,
                                        ctypes.byref(n_read))
         if rc != 0 or n_read.value < need:
-            log.warning("rtlsdr: short read (%d of %d bytes, rc=%d)",
-                        n_read.value, need, rc)
-            return None
+            self._fail_count += 1
+            log.warning("rtlsdr: short read (%d of %d bytes, rc=%d, "
+                        "%d consecutive)", n_read.value, need, rc,
+                        self._fail_count)
+            if self._fail_count >= self.MAX_CONSECUTIVE_FAILURES:
+                log.error("rtlsdr: %d consecutive read failures; "
+                          "ending capture", self._fail_count)
+                return None  # genuine device loss -> end of stream
+            # transient hiccup: emit one silent block and keep streaming
+            return np.zeros(self.block_frames, np.complex64)
+        self._fail_count = 0
         raw = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
         f = (raw - 128.0) / 128.0  # rtlsdrtuner.cxx:92-95
         return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
@@ -157,6 +170,12 @@ class RtlSdrTuner(Tuner):
     def __init__(self, subdevice: str = ""):
         self._dev = None
         self._closing = False
+        #: serializes EVERY librtlsdr call on this handle: the blocking
+        #: block read, the write-through control setters (invoked from
+        #: HTTP threads), gain readback, and close — librtlsdr handles
+        #: are not thread-safe, and a close racing any call is a
+        #: use-after-free
+        self._dev_lock = threading.RLock()
         self._requested_serial = subdevice
         self.xtal_hz = 0
         self.tuner_xtal_hz = 0
@@ -215,22 +234,23 @@ class RtlSdrTuner(Tuner):
 
     # ---- lifecycle ---------------------------------------------------
     def start(self) -> bool:
-        if self._dev is None and not self._open():
-            return False
-        dev = self._dev
-        # program + read back the achieved rate (rtlsdrtuner.cxx:226-228)
-        _LIB.rtlsdr_set_sample_rate(dev, int(self.source.sample_rate))
-        self._achieved_rate = int(_LIB.rtlsdr_get_sample_rate(dev))
-        # RTL2832 internal (digital) AGC always on, as the reference
-        # chooses (rtlsdrtuner.cxx:229)
-        _LIB.rtlsdr_set_agc_mode(dev, 1)
-        # push cached control state (rtlsdrtuner.cxx:232-235)
-        self.set_centre_frequency(self._centre_frequency)
-        self.set_offset_ppm(self._offset_ppm)
-        self.set_agc(self._agc)
-        if not self._agc:
-            self.set_gain_db(self._gain_db)
-        _LIB.rtlsdr_reset_buffer(dev)
+        with self._dev_lock:  # RLock: the setters below re-enter it
+            if self._dev is None and not self._open():
+                return False
+            dev = self._dev
+            # program + read back the achieved rate (rtlsdrtuner.cxx:226-228)
+            _LIB.rtlsdr_set_sample_rate(dev, int(self.source.sample_rate))
+            self._achieved_rate = int(_LIB.rtlsdr_get_sample_rate(dev))
+            # RTL2832 internal (digital) AGC always on, as the reference
+            # chooses (rtlsdrtuner.cxx:229)
+            _LIB.rtlsdr_set_agc_mode(dev, 1)
+            # push cached control state (rtlsdrtuner.cxx:232-235)
+            self.set_centre_frequency(self._centre_frequency)
+            self.set_offset_ppm(self._offset_ppm)
+            self.set_agc(self._agc)
+            if not self._agc:
+                self.set_gain_db(self._gain_db)
+            _LIB.rtlsdr_reset_buffer(dev)
         old = self.source
         src = _RtlSdrSource(self)
         src.sample_rate = old.sample_rate
@@ -240,18 +260,15 @@ class RtlSdrTuner(Tuner):
 
     def stop(self) -> None:
         # sequence: flag the capture loop off, stop the source, then
-        # close the device UNDER the source's read lock — an in-flight
-        # rtlsdr_read_sync (<= one 42.7 ms block) finishes first, so the
-        # handle is never freed mid-transfer (the reference cancels its
-        # async reader and joins before closing, rtlsdrtuner.cxx:253-263)
+        # close the device UNDER the device lock — an in-flight
+        # rtlsdr_read_sync (<= one 42.7 ms block) or control write
+        # finishes first, so the handle is never freed mid-call (the
+        # reference cancels its async reader and joins before closing,
+        # rtlsdrtuner.cxx:253-263)
         self._closing = True
         try:
             super().stop()
-            lock = getattr(self.source, "_lock", None)
-            if lock is not None:
-                with lock:
-                    self._close()
-            else:
+            with self._dev_lock:
                 self._close()
         finally:
             self._closing = False
@@ -268,46 +285,57 @@ class RtlSdrTuner(Tuner):
     def gain_db(self) -> float:
         """Live tuner-gain readback when open (what AGC actually chose —
         rtlsdrtuner.cxx:158-166); the cached setting when closed."""
-        if self._dev is not None and hasattr(_LIB, "rtlsdr_get_tuner_gain"):
-            tenths = int(_LIB.rtlsdr_get_tuner_gain(self._dev))
-            if tenths != 0 or self._agc:
-                return tenths / 10.0
+        with self._dev_lock:
+            if (self._dev is not None
+                    and hasattr(_LIB, "rtlsdr_get_tuner_gain")):
+                tenths = int(_LIB.rtlsdr_get_tuner_gain(self._dev))
+                if tenths != 0 or self._agc:
+                    return tenths / 10.0
         return self._gain_db
 
     def supported_gains_db(self) -> list[float]:
         """The dongle's gain table (rtlsdr_get_tuner_gains)."""
-        if self._dev is None or not hasattr(_LIB, "rtlsdr_get_tuner_gains"):
-            return []
-        n = int(_LIB.rtlsdr_get_tuner_gains(self._dev, None))
-        if n <= 0:
-            return []
-        buf = (ctypes.c_int * n)()
-        _LIB.rtlsdr_get_tuner_gains(self._dev, buf)
+        with self._dev_lock:
+            if (self._dev is None
+                    or not hasattr(_LIB, "rtlsdr_get_tuner_gains")):
+                return []
+            n = int(_LIB.rtlsdr_get_tuner_gains(self._dev, None))
+            if n <= 0:
+                return []
+            buf = (ctypes.c_int * n)()
+            _LIB.rtlsdr_get_tuner_gains(self._dev, buf)
         return [g / 10.0 for g in buf]
 
-    # ---- control write-through (rtlsdrtuner.cxx:119-183) -------------
+    # ---- control write-through (rtlsdrtuner.cxx:119-183), each call
+    # under the device lock so a concurrent stop() can never free the
+    # handle mid-write (the setters run on HTTP threads)
     def set_centre_frequency(self, hz: int) -> None:
         super().set_centre_frequency(hz)
-        if self._dev is not None:
-            _LIB.rtlsdr_set_center_freq(self._dev, int(hz))
+        with self._dev_lock:
+            if self._dev is not None:
+                _LIB.rtlsdr_set_center_freq(self._dev, int(hz))
 
     def set_offset_ppm(self, ppm: int) -> None:
         super().set_offset_ppm(ppm)
-        if self._dev is not None:
-            # librtlsdr returns -2 for "already at this correction";
-            # harmless, matching the reference's unchecked call
-            _LIB.rtlsdr_set_freq_correction(self._dev, int(ppm))
+        with self._dev_lock:
+            if self._dev is not None:
+                # librtlsdr returns -2 for "already at this correction";
+                # harmless, matching the reference's unchecked call
+                _LIB.rtlsdr_set_freq_correction(self._dev, int(ppm))
 
     def set_agc(self, on: bool) -> None:
         super().set_agc(on)
-        if self._dev is not None:
-            _LIB.rtlsdr_set_tuner_gain_mode(self._dev, 0 if on else 1)
-            if not on:
-                _LIB.rtlsdr_set_tuner_gain(
-                    self._dev, int(round(self._gain_db * 10))
-                )
+        with self._dev_lock:
+            if self._dev is not None:
+                _LIB.rtlsdr_set_tuner_gain_mode(self._dev, 0 if on else 1)
+                if not on:
+                    _LIB.rtlsdr_set_tuner_gain(
+                        self._dev, int(round(self._gain_db * 10))
+                    )
 
     def set_gain_db(self, db: float) -> None:
         super().set_gain_db(db)
-        if self._dev is not None and not self._agc:
-            _LIB.rtlsdr_set_tuner_gain(self._dev, int(round(db * 10)))
+        with self._dev_lock:
+            if self._dev is not None and not self._agc:
+                _LIB.rtlsdr_set_tuner_gain(self._dev,
+                                           int(round(db * 10)))

@@ -784,11 +784,12 @@ def fused_pfb_tail_audio_tm(
       pfb_weights: ``[2 K_p, 2 C]`` float32 packed filterbank weights
         (``bin_weights_for_channels`` reshaped) — columns ``[:C]``
         produce mixed I, ``[C:]`` mixed Q.
-      pfb_precision: the filterbank dot's precision. The channelized
-        step maps the ``fir_precision`` tiers onto it: "highest" ->
-        HIGH (manual bf16x3, filterbank ~96 dB vs float32), "high" ->
-        DEFAULT (one bf16 pass, ~51 dB — the rate the filterbank ran at
-        in every earlier round).
+      pfb_precision: the in-kernel filterbank dot's precision, mapped
+        from ``ChannelizedConfig.pfb_precision`` by the channelized step
+        (same lax.Precision the XLA matmul would use: DEFAULT = one bf16
+        pass, HIGH = manual bf16x3 via :func:`_band_dot`, HIGHEST =
+        bf16x6). The u8exact tier is not supported in this kernel
+        (config validation rejects the combination).
 
     Returns ``(audio48 [nd // decimation, C], new_hist_i, new_hist_q,
     new_demod_prev, new_audio_hist, power [C])`` exactly like

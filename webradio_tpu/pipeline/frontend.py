@@ -197,15 +197,9 @@ class FrontEndPipeline:
         )
         result = None
         if self._pending is not None:
-            # hand the previous block's outputs up STILL ON DEVICE: the
-            # web layer fetches the ~2 KB spectrum row at the UI's 5 Hz
-            # poll rate and only the audio rows that have consumers (the
-            # reference's zero-consumer no-op, audiostream.cxx:67-68,
-            # applied at the device->host boundary — at C=1024 the full
-            # audio block is ~8 MB per 42.7 ms, and on a high-latency
-            # host link even per-block scalar fetches break real time).
-            # Completion pacing comes from the pump's asynchronous
-            # profiling sampler and the paced capture source.
+            # on-device handoff; see FrontEndPipeline.process_host for
+            # the rationale (consumer-driven fetches, zero per-block
+            # device round-trips)
             result = self._pending
         self._pending = (audio, latest_db)
         return result

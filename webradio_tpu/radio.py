@@ -37,6 +37,13 @@ CHANNELIZED_AUTO_THRESHOLD = 16
 #: (see FrontEnd._sample_step_async)
 PROFILE_SAMPLE_EVERY = 16
 
+#: sampled dispatch->completion latency (in blocks) beyond which the
+#: pump re-establishes device backpressure with one blocking fetch (see
+#: run_once). Far above the worst healthy-link round trip observed on
+#: the dev tunnel (~0.42 s ~= 10 blocks), so it only fires when the
+#: device genuinely cannot keep up
+OVERLOAD_BLOCKS = 12
+
 #: ring backlog that triggers the catch-up scan (and the blocks per scanned
 #: dispatch). One fixed size keeps the extra compiled program count at 1;
 #: the warm is lazy — a healthy real-time pump never pays for any of this
@@ -137,7 +144,11 @@ class Receiver:
         # (pulseaudio.cxx:113-152); here the topology config can bind it
         # per receiver (app.py "audio_sink"). Written from the pump
         # alongside the HTTP fan-out; a write failure unbinds with a log.
+        # _sink_lock serializes the pump's write against close()'s
+        # pa_simple_free (an unguarded close racing a write is a native
+        # use-after-free).
         self.audio_sink = None
+        self._sink_lock = threading.Lock()
         self.front_end: "FrontEnd | None" = None
         Radio.receivers[self.uuid] = self
 
@@ -205,13 +216,14 @@ class Receiver:
 
     def close(self) -> None:
         self.set_front_end(None)
-        if self.audio_sink is not None:
+        with self._sink_lock:
+            sink, self.audio_sink = self.audio_sink, None
+        if sink is not None:
             try:
-                self.audio_sink.close()
+                sink.close()
             except Exception:
                 log.debug("receiver %s: audio sink close failed", self.uuid,
                           exc_info=True)
-            self.audio_sink = None
         Radio.receivers.pop(self.uuid, None)
 
 
@@ -282,6 +294,10 @@ class FrontEnd:
         self.total_step_ns = 0     # sum over sampled steps only
         self.step_samples = 0
         self._sampler: threading.Thread | None = None
+        # overload backstop (see run_once): set by the sampler when a
+        # dispatch->completion latency exceeds OVERLOAD_BLOCKS blocks
+        self._device_behind = False
+        self.overload_events = 0
         self.total_frames = 0
         Radio.front_ends[self.uuid] = self
 
@@ -751,6 +767,27 @@ class FrontEnd:
         self.last_dispatch_ns = time.perf_counter_ns() - t0
         self.block_count += n_blocks
         self.total_frames += n_blocks * self.cfg.block_frames
+        if self._device_behind:
+            # With no audio consumers nothing is fetched per block, so a
+            # device slower than real time would otherwise accumulate an
+            # unbounded dispatch queue while /status reads healthy (the
+            # ring never drops: dispatch itself stays fast). One blocking
+            # fetch per overloaded sample bounds the queue; it costs a
+            # stall only when real time is already lost.
+            self._device_behind = False
+            self.overload_events += 1
+            log.warning(
+                "front end %s: device %0.f ms behind a %.0f ms block — "
+                "forcing synchronization (%d events)", self.uuid,
+                self.last_step_ns / 1e6,
+                1e3 * self.cfg.block_frames / self.cfg.sample_rate,
+                self.overload_events,
+            )
+            pend = getattr(self.pipeline, "_pending", None)
+            if pend is not None:
+                import jax
+
+                jax.device_get(pend[1][:1])
         if (self.block_count == 1
                 or self.block_count % PROFILE_SAMPLE_EVERY == 0):
             # time THIS block from its own dispatch to device completion —
@@ -786,6 +823,9 @@ class FrontEnd:
             self.last_step_ns = dt
             self.total_step_ns += dt
             self.step_samples += 1
+            block_ns = 1e9 * self.cfg.block_frames / self.cfg.sample_rate
+            if dt > OVERLOAD_BLOCKS * block_ns:
+                self._device_behind = True
 
         self._sampler = threading.Thread(target=run, daemon=True,
                                          name=f"profile-{self.uuid}")
@@ -827,15 +867,21 @@ class FrontEnd:
                 if rx.audio_sink is not None:
                     # local soundcard/file binding; pa_simple_write
                     # blocks on the hardware clock exactly like the
-                    # reference's in-graph sink (pulseaudio.cxx:143)
-                    try:
-                        rx.audio_sink.write(row)
-                    except Exception:
-                        log.exception(
-                            "receiver %s: audio sink write failed; "
-                            "unbinding", rx.uuid,
-                        )
-                        rx.audio_sink = None
+                    # reference's in-graph sink (pulseaudio.cxx:143).
+                    # Under the sink lock: a concurrent DELETE must not
+                    # free the native sink mid-write.
+                    with rx._sink_lock:
+                        sink = rx.audio_sink
+                        if sink is None:
+                            continue
+                        try:
+                            sink.write(row)
+                        except Exception:
+                            log.exception(
+                                "receiver %s: audio sink write failed; "
+                                "unbinding", rx.uuid,
+                            )
+                            rx.audio_sink = None
 
     # ---- readers (HTTP threads) ---------------------------------------
     def get_spectrum_db(self) -> np.ndarray:

@@ -114,13 +114,15 @@ class StatusHandler(HttpRequestHandler):
                 "ns_per_frame": round(nspf, 1),
                 "realtime_factor": round(budget / nspf, 2) if nspf else None,
                 "throughput_factor": (
-                    round(fe.throughput_factor(), 3)
-                    if fe.throughput_factor() is not None else None),
+                    round(tput, 3)
+                    if (tput := fe.throughput_factor()) is not None
+                    else None),
                 "last_step_ms": round(fe.last_step_ns / 1e6, 2),
                 "step_samples": fe.step_samples,
                 # per-call handoff cost (dispatch N + fetch N-1), what the
                 # pump actually pays each block
                 "last_dispatch_ms": round(fe.last_dispatch_ns / 1e6, 2),
+                "overload_events": fe.overload_events,
                 "sample_rate": fe.cfg.sample_rate,
                 "channel_capacity": fe.cfg.num_channels,
                 "engine": ("channelized" if fe._use_channelized()
