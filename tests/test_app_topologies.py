@@ -335,3 +335,42 @@ def test_hardware_driver_defaults_to_u8exact_filterbank():
         a.close()
         Radio.reset()
         AudioStreamManager.reset()
+
+
+def test_overload_backstop_forces_synchronization():
+    """When the async profiling sampler flags the device as behind
+    (dispatch->completion latency > OVERLOAD_BLOCKS blocks), the next
+    pump iteration forces one synchronizing fetch and counts the event —
+    the bounded-queue backstop for the zero-fetch serving path."""
+    from webradio_tpu.app import RadioApp
+
+    Radio.reset()
+    AudioStreamManager.reset()
+    config = {
+        "server": {"port": 0, "host": "127.0.0.1"},
+        "tuners": [
+            {"driver": "tone", "sample_rate": 256_000,
+             "channel_rate": 32_000, "audio_rate": 8_000,
+             "block_frames": 8_192, "capacity": 2}
+        ],
+        "receivers": [{"tuner": 0, "if_frequency": 0,
+                       "demodulator": "AM"}],
+    }
+    a = RadioApp(config)
+    try:
+        assert a.start()
+        fe = a.front_ends[0]
+        deadline = time.time() + 30
+        while fe.block_count < 3 and time.time() < deadline:
+            time.sleep(0.05)
+        before = fe.overload_events
+        fe._device_behind = True  # as the sampler would set it
+        blocks = fe.block_count
+        while fe.block_count <= blocks and time.time() < deadline:
+            time.sleep(0.02)
+        assert fe.overload_events == before + 1
+        assert fe._device_behind is False  # consumed, not sticky
+    finally:
+        a.close()
+        Radio.reset()
+        AudioStreamManager.reset()
