@@ -103,28 +103,36 @@ def worker(out_path: str) -> None:
     def ifs(c):
         return [int((i - c // 2) * 2_000) for i in range(c)]
 
-    # Quality tiers (SNR vs a float64 evaluation of the same math on FM
-    # tone ensembles, measured by `bench.py --accuracy`):
-    #   fir=highest pfb=highest : ~146 dB — float32-exact end to end,
-    #                             the reference chain's own quality
-    #   fir=highest pfb=high    : ~63 dB
-    #   fir=highest pfb=default : ~31 dB (one-bf16-pass filterbank)
-    #   fir=high    pfb=default : ~31 dB (fastest)
-    # "bit-exact" in the headline refers to the FIR tier (arithmetic
-    # parity with the direct engine); reference_quality additionally
-    # runs the filterbank at float32.
+    # Quality tiers (measured on-device; `bench.py --accuracy` for the
+    # end-to-end SNR vs float64, BASELINE.md r4 for the hx tiers):
+    #   fir=highest : bf16x6 FIRs, float32-identical to the direct
+    #                 engine — the bit-exact tier
+    #   fir=hx5/hx4 : host-exact 3-term weight split x 2-term data
+    #                 split, 5/4 MXU passes — measured <= 6.3e-7 max abs
+    #                 audio deviation from the bit-exact chain (111/109
+    #                 dB), an order of magnitude inside the framework's
+    #                 own 3e-6 equality bound ("f32-parity" tiers)
+    #   fir=high    : bf16x3 (~65 dB through the FM discriminator)
+    #   pfb=highest : float32-exact filterbank (reference quality);
+    #   pfb=u8exact : exact for 8-bit-sourced (all hardware) signals at
+    #                 2 passes; pfb=default: one bf16 pass (~31 dB).
+    # Every config passes mode_set (the live server does too): the
+    # fused kernel statically evaluates only the demod laws present.
     # headline configs FIRST: if the harness deadline clips the sweep,
     # the best real-time batches per tier are already on record
     sweep = [
-        (49152, "highest", "default"),   # bit-exact-FIR throughput tier
-        (65536, "high", "default"),      # bf16x3 throughput tier
-        (49152, "highest", "u8exact"),   # reference quality, u8 input
-        (32768, "highest", "highest"),   # reference quality, any input
-        (57344, "high", "u8exact"),      # bf16x3 FIR on u8 input
-        (40960, "highest", "high"),
+        (59392, "highest", "default"),   # bit-exact-FIR headline (r4)
+        (73728, "hx4", "default"),       # f32-parity throughput tier
+        (67584, "hx5", "default"),       # f32-parity, 5-pass
+        (57344, "highest", "u8exact"),   # reference quality, u8 input
+        (40960, "highest", "highest"),   # reference quality, any input
+        (81920, "high", "default"),      # bf16x3 throughput tier
+        (57344, "highest", "default"),   # headline fallback
+        (65536, "hx4", "default"), (65536, "hx5", "default"),
+        (49152, "highest", "u8exact"),
+        (36864, "highest", "highest"), (32768, "highest", "highest"),
         (32768, "highest", "default"), (16384, "highest", "default"),
         (4096, "highest", "default"), (1024, "highest", "default"),
-        (45056, "highest", "u8exact"), (24576, "highest", "highest"),
     ]
     for c, fp, pp in sweep:
         cfg = ChannelizedConfig(num_channels=c, fir_precision=fp,
@@ -132,10 +140,13 @@ def worker(out_path: str) -> None:
         key = (f"pfb_c{c}" + ("" if fp == "highest" else f"_{fp}")
                + ("" if pp == "default" else f"_pfb{pp}"))
         try:
+            from webradio_tpu.pipeline.channelized import mode_set_of
+
             params = make_channelized_params(cfg, ifs(c), 80_000, 8_000, "FM")
+            ms = mode_set_of(params.mode)
             state = init_channelized_state(cfg)
             dt = _measure(
-                lambda p, s, x: channelized_step(cfg, p, s, x),
+                lambda p, s, x: channelized_step(cfg, p, s, x, mode_set=ms),
                 params, state, iq, checksum,
             )
         except Exception as e:
@@ -167,6 +178,63 @@ def worker(out_path: str) -> None:
         if dt > 4 * cfg.block_seconds:
             break
     emit(kind="done")
+
+
+# ---------------------------------------------------------------------------
+# roofline model (VERDICT r3 #8: machine-visible across rounds)
+# ---------------------------------------------------------------------------
+
+#: v5e peak bf16 MXU throughput / f32 VPU throughput / HBM bandwidth
+V5E_MXU_FLOPS = 197e12
+V5E_VPU_FLOPS = 3.9e12
+V5E_HBM_BPS = 819e9
+
+_FIR_PASSES = {"highest": 6, "hx5": 5, "hx4": 4, "high": 3}
+_PFB_PASSES = {"default": 1, "u8exact": 2, "high": 3, "highest": 6}
+
+
+def roofline_model_ms(c: int, fir: str, pfb: str) -> dict:
+    """Compute-/bandwidth-bound step-time model for the channelized step
+    at stock rates (nd = 10240 channel-rate frames per 42.7 ms block).
+
+    MXU MAC-slots COUNT THE PADDED BAND ZEROS (they occupy the systolic
+    array): the banded shaping FIR runs 128 slots per output row per
+    channel per pass (64-tap band in a [64, 127] tile), the sub-tiled
+    audio FIR 384 per output row (span 379 -> 3 K-tiles), the filterbank
+    384 x 2C per row per pass (320-row contraction -> 3 K-tiles). The
+    VPU term models the mode_set-specialized FM chain (~35 flops per
+    sample per channel: factored-phasor LO + mix + discriminator +
+    power). HBM counts the packed product write+read, frames, weights
+    and the audio round-trip. ``ideal_ms`` assumes perfect MXU/VPU/HBM
+    overlap (max of streams); ``serial_ms`` is the no-overlap sum plus
+    the ~3 ms measured XLA front (spectrum + im2col + dispatch).
+    """
+    nd = 10_240
+    kp2 = 320  # 2 * proto_taps at stock rates (16 taps/phase x 10 bins)
+    fp = _FIR_PASSES[fir]
+    pp = _PFB_PASSES[pfb]
+    macs = (
+        2 * nd * c * 128 * fp          # shaping FIR, I+Q planes
+        + (nd // 5) * c * 384 * fp     # decimating audio FIR
+        + nd * 384 * 2 * c * pp        # filterbank matmul
+    )
+    mxu_ms = 2 * macs / V5E_MXU_FLOPS * 1e3
+    vpu_ms = nd * c * 35 / V5E_VPU_FLOPS * 1e3
+    hbm_bytes = (
+        2 * nd * 2 * c * 4             # packed product write + read
+        + nd * kp2 * 4                 # im2col frames
+        + kp2 * 2 * c * 4 * (2 if pfb == "u8exact" else 1)
+        + 2 * (nd // 5) * c * 4        # audio write + transpose read
+    )
+    hbm_ms = hbm_bytes / V5E_HBM_BPS * 1e3
+    front_ms = 3.0
+    return {
+        "mxu_ms": round(mxu_ms, 2),
+        "vpu_ms": round(vpu_ms, 2),
+        "hbm_ms": round(hbm_ms, 2),
+        "ideal_ms": round(max(mxu_ms, vpu_ms, hbm_ms) + front_ms, 2),
+        "serial_ms": round(mxu_ms + vpu_ms + front_ms, 2),
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -220,10 +288,11 @@ def main() -> None:
     # throughput-normalized best (with a note) only if nothing measured
     # real-time.
     report = {}
-    best_rt = {"highest": 0, "high": 0}  # FIR tier -> largest rt batch
+    best_rt = {"highest": 0, "hx5": 0, "hx4": 0, "high": 0}
     best_refq = 0  # fir=highest AND pfb=highest (float32-exact chain)
     best_refq_u8 = 0  # fir=highest, pfb=u8exact (exact for u8 input)
     best_tp, best_tp_c, best_tp_fp = 0.0, 0, ""
+    headline_ms = None  # measured step at the headline (bitexact) config
     try:
         for line in open(path):
             try:
@@ -239,6 +308,9 @@ def main() -> None:
                     pp = rec.get("pfb_precision", "default")
                     if rec.get("realtime") and rec["channels"] > best_rt[fp]:
                         best_rt[fp] = rec["channels"]
+                        if fp == "highest":
+                            headline_ms = (rec["channels"], pp,
+                                           rec["step_ms"])
                     if (rec.get("realtime") and fp == "highest"
                             and pp == "highest"
                             and rec["channels"] > best_refq):
@@ -255,7 +327,10 @@ def main() -> None:
     except OSError:
         pass
     bitexact = best_rt["highest"]
-    bf16x3 = max(best_rt["high"], bitexact)  # highest also qualifies at x3
+    # quality ordering: highest > hx5 > hx4 > high — each tier's best
+    # batch also qualifies at every lower tier
+    f32parity = max(best_rt["hx5"], best_rt["hx4"], bitexact)
+    bf16x3 = max(best_rt["high"], f32parity)
     value, best_c, best_fp = float(bitexact), bitexact, "highest"
     if value == 0.0 and bf16x3 > 0:
         value, best_c, best_fp = float(bf16x3), bf16x3, "high"
@@ -270,6 +345,20 @@ def main() -> None:
     except OSError:
         pass
 
+    # roofline position of the headline config (VERDICT r3 #8): how far
+    # the measured step sits from the modeled compute/bandwidth bound
+    roofline = {}
+    if headline_ms is not None:
+        hc, hpp, hms = headline_ms
+        model = roofline_model_ms(hc, "highest", hpp)
+        roofline = {
+            "roofline_ms": model["ideal_ms"],
+            "roofline_serial_ms": model["serial_ms"],
+            "roofline_frac": round(model["ideal_ms"] / hms, 3),
+            "roofline_detail": {**model, "measured_ms": round(hms, 2),
+                                "config": f"c{hc}_highest_pfb{hpp}"},
+        }
+
     value = round(value, 1)
     print(
         json.dumps(
@@ -279,7 +368,13 @@ def main() -> None:
                 "unit": "channels @ 2.4Msps full chain",
                 "vs_baseline": value,  # reference sustains 1 channel (SURVEY §6)
                 "realtime_channels_bitexact": bitexact,
+                # hx5/hx4 host-exact-weight tiers: <= 6.3e-7 max abs
+                # audio deviation from the bit-exact chain (measured
+                # on-device, BASELINE.md r4) — inside the framework's
+                # own 3e-6 equality bound
+                "realtime_channels_f32parity": f32parity,
                 "realtime_channels_bf16x3": bf16x3,
+                **roofline,
                 # float32-exact end to end (fir=highest AND pfb=highest;
                 # ~146 dB vs float64 on FM tones — the reference chain's
                 # own arithmetic quality)
@@ -403,7 +498,8 @@ def accuracy() -> int:
         for fir_p, pfb_p in (("highest", "default"), ("highest", "high"),
                              ("highest", "highest"), ("high", "default"),
                              ("high", "high"), ("highest", "u8exact"),
-                             ("high", "u8exact")):
+                             ("high", "u8exact"), ("hx5", "highest"),
+                             ("hx5", "u8exact"), ("hx4", "highest")):
             cfg = ChannelizedConfig(num_channels=c, fir_precision=fir_p,
                                     pfb_precision=pfb_p)
             params = make_channelized_params(cfg, ifs, 80_000, 8_000, "FM")

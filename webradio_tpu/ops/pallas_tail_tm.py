@@ -53,13 +53,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .nco import LOOKUP_BITS, LOOKUP_MASK, LOOKUP_SHIFT, PHASE_MASK
 from .trig import atan2
-from .demod import MODE_AM, MODE_FM, MODE_USB
+from .demod import MODE_AM, MODE_FM, MODE_LSB, MODE_USB
 
 _ANGLE_SCALE = np.float32(2.0 * np.pi / (1 << LOOKUP_BITS))
 _INV_2PI = np.float32(1.0 / (2.0 * np.pi))
 
 CHAN_TILE = 128  # lanes
 TIME_TILE = 1024  # sublanes per program (multiple of the FIR tile T)
+
+
+def _interleave_default() -> bool:
+    """Default FIR/demod body form for the audio kernels (A/B override:
+    WEBRADIO_TM_INTERLEAVE=0/1). Resolved at trace time.
+
+    MEASURED (v5e, full channelized step at C=32768/highest): the
+    per-sub-tile interleaved body is a wash (25.01 vs 24.85 ms) — a
+    Mosaic microbenchmark shows independent MXU and VPU streams already
+    co-schedule at ~max(MXU, VPU) regardless of statement order, so the
+    whole-tile concat form was never actually serializing. Kept as an
+    opt-in (bit-identical audio; parity-tested) for hardware where the
+    scheduler behaves differently."""
+    import os
+
+    return os.environ.get("WEBRADIO_TM_INTERLEAVE", "0") == "1"
 
 _FULL_ANGLE_SCALE = np.float32(2.0 * np.pi / (1 << 31))
 
@@ -92,6 +108,75 @@ def _band_dot(a, b, prec):
     bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
     d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
     return d(ah, bh) + (d(ah, bl) + d(al, bh))
+
+
+def _make_band_dot(wt, prec):
+    """``seg -> wt @ seg`` at the given FIR tier, pre-splitting the
+    STATIC weight operand once per kernel body.
+
+    Beyond the :func:`_band_dot` tiers (DEFAULT/HIGH/HIGHEST as 1/3/6
+    bf16 MXU passes), the string tiers exploit that the weight operand
+    is a constant matrix: a THREE-term bf16 split ``w = wh + wm + wl``
+    is EXACT for any float32 (3 x 8 mantissa bits cover f32's 24; each
+    residual is computed exactly in f32 by Sterbenz cancellation), so
+    only the data operand's split truncates:
+
+      "hx5": wh@sh + wm@sh + wl@sh + wh@sl + wm@sl  — 5 passes; the
+             only error left is the data residual ``s - sh - sl``
+             (~2^-17 relative), vs HIGHEST's 6 passes at ~2^-24.
+      "hx4": drops wl@sh — 4 passes; adds the ~2^-17 weight tail the
+             3-term split was covering, comparable to HIGH's error at
+             one more pass (kept for the measurement ladder).
+
+    The weight split runs per kernel body on a [T, span] matrix —
+    noise next to the [tg, C_tile] data work.
+    """
+    if prec in ("hx5", "hx4"):
+        wh = wt.astype(jnp.bfloat16)
+        r1 = wt - wh.astype(jnp.float32)
+        wm = r1.astype(jnp.bfloat16)
+        d = lambda x, y: jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+        def dot(seg):
+            sh = seg.astype(jnp.bfloat16)
+            sl = (seg - sh.astype(jnp.float32)).astype(jnp.bfloat16)
+            out = d(wh, sh) + (d(wm, sh) + d(wh, sl)) + d(wm, sl)
+            if prec == "hx5":
+                wl = (r1 - wm.astype(jnp.float32)).astype(jnp.bfloat16)
+                out = out + d(wl, sh)
+            return out
+
+        return dot
+    return lambda seg: _band_dot(wt, seg, prec)
+
+
+def _demod_laws(yi, yq, lag_i, lag_q, mode, mode_set):
+    """Per-sample demod (reference laws, demodulator.cxx:83-112) with
+    STATIC law specialization: only the laws in ``mode_set`` — the set
+    of distinct per-channel modes, known host-side when params are
+    built — are evaluated. ``None`` evaluates all four (the generic
+    kernel). With one law present (the common all-FM monitoring case)
+    the select chain disappears entirely; r3's runtime-branch
+    experiment lost to straight-line code, but a TRACE-TIME
+    specialization has no branch to pay for."""
+    want = ((MODE_AM, MODE_FM, MODE_USB, MODE_LSB) if mode_set is None
+            else tuple(sorted(set(int(m) for m in mode_set))))
+    vals = []
+    for m in want:
+        if m == MODE_AM:
+            vals.append((m, jnp.sqrt(yi * yi + yq * yq)))
+        elif m == MODE_FM:
+            ii = yi * lag_i + yq * lag_q
+            qq = yq * lag_i - yi * lag_q
+            vals.append((m, atan2(ii, qq) * _INV_2PI))  # reference arg order
+        elif m == MODE_USB:
+            vals.append((m, yi + yq))
+        else:
+            vals.append((m, yi - yq))
+    audio = vals[-1][1]
+    for m, law in vals[-2::-1]:
+        audio = jnp.where(mode[None, :] == m, law, audio)
+    return audio
 
 
 def _tile_lo(fast, tg, row0, phase0, step, fine_s, fine_c):
@@ -155,7 +240,7 @@ def _tile_lo(fast, tg, row0, phase0, step, fine_s, fine_c):
     )
 
 
-def _kernel(k_taps, fir_tile, nd, prec, fast,
+def _kernel(k_taps, fir_tile, nd, prec, fast, mode_set,
             ci_ref, cq_ref, phase0_ref, step_ref, mode_ref, prev_ref,
             w_ref, hi0_ref, hq0_ref,
             audio_ref, nprev_ref, histi_ref, histq_ref, power_ref,
@@ -196,12 +281,13 @@ def _kernel(k_taps, fir_tile, nd, prec, fast,
     # out rows j*T..(j+1)*T from mixed rows j*T..j*T+span
     span = t + k - 1
     wt = w_ref[:].T  # [T, span]
+    band = _make_band_dot(wt, prec)
     outs_i, outs_q = [], []
     for j in range(tg // t):
         seg_i = lax.slice_in_dim(mi, j * t, j * t + span, axis=0)
         seg_q = lax.slice_in_dim(mq, j * t, j * t + span, axis=0)
-        outs_i.append(_band_dot(wt, seg_i, prec))
-        outs_q.append(_band_dot(wt, seg_q, prec))
+        outs_i.append(band(seg_i))
+        outs_q.append(band(seg_q))
     yi = jnp.concatenate(outs_i, axis=0)  # [tg, C_tile]
     yq = jnp.concatenate(outs_q, axis=0)
 
@@ -219,25 +305,10 @@ def _kernel(k_taps, fir_tile, nd, prec, fast,
     lag_i = jnp.concatenate([lag_ref[0:1, :], yi[:-1, :]], axis=0)
     lag_q = jnp.concatenate([lag_ref[1:2, :], yq[:-1, :]], axis=0)
 
-    # all four laws + select: MEASURED faster than a per-tile uniform-mode
-    # scalar-prefetch branch (pl.when) writing a VMEM scratch — at
-    # C=32768/FM the branchy form cost +3.4 ms/block (register pressure +
-    # the scratch round-trip), while the straight-line select keeps the
-    # VPU pipeline full; the demod laws are NOT the kernel's bottleneck
-    # (USB and FM measure identical)
-    am = jnp.sqrt(yi * yi + yq * yq)
-    ii = yi * lag_i + yq * lag_q
-    qq = yq * lag_i - yi * lag_q
-    fm = atan2(ii, qq) * _INV_2PI  # reference arg order
-    usb = yi + yq
-    lsb = yi - yq
-    mode = mode_ref[0, :]
-    audio = jnp.where(
-        mode[None, :] == MODE_AM, am,
-        jnp.where(mode[None, :] == MODE_FM, fm,
-                  jnp.where(mode[None, :] == MODE_USB, usb, lsb)),
-    )
-    audio_ref[:] = audio
+    # straight-line laws + select (see _demod_laws: runtime branches
+    # measured slower; mode_set is the trace-time specialization)
+    audio_ref[:] = _demod_laws(yi, yq, lag_i, lag_q, mode_ref[0, :],
+                               mode_set)
     lag_ref[0, :] = yi[tg - 1, :]
     lag_ref[1, :] = yq[tg - 1, :]
 
@@ -252,7 +323,8 @@ def _kernel(k_taps, fir_tile, nd, prec, fast,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "precision", "packed", "fast")
+    jax.jit, static_argnames=("interpret", "precision", "packed", "fast",
+                              "mode_set")
 )
 def fused_tail_tm(
     ci_planes: jax.Array,
@@ -268,6 +340,7 @@ def fused_tail_tm(
     precision: lax.Precision = lax.Precision.HIGHEST,
     packed: bool = False,
     fast: bool = False,
+    mode_set: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Fused mix+FIR+demod over time-major planes.
 
@@ -329,7 +402,7 @@ def fused_tail_tm(
     time_chan_q = (lambda i, j, *_: (j, i + n_ct)) if packed else time_chan
 
     audio, nprev, histi, histq, power = pl.pallas_call(
-        functools.partial(_kernel, k, t, nd, precision, fast),
+        functools.partial(_kernel, k, t, nd, precision, fast, mode_set),
         grid=grid,
         in_specs=[
             pl.BlockSpec((TIME_TILE, CHAN_TILE), time_chan,
@@ -392,7 +465,8 @@ def fused_tail_tm(
 # audio-FIR-fused variant: mix + shaping FIR + demod + decimating audio FIR
 # ---------------------------------------------------------------------------
 
-def _audio_tail_core(k_taps, fir_tile, d, tg, nd, prec, fast, xi, xq,
+def _audio_tail_core(k_taps, fir_tile, d, tg, nd, prec, fast, mode_set,
+                     interleave, xi, xq,
                      phase0_ref, step_ref, mode_ref,
                      prev_ref, w_ref, wa_ref, ahist0_ref, hi0_ref, hq0_ref,
                      audio_ref, nprev_ref, histi_ref, histq_ref, ahist_ref,
@@ -442,50 +516,71 @@ def _audio_tail_core(k_taps, fir_tile, d, tg, nd, prec, fast, xi, xq,
     halo_i[:] = mi_d[tg - (k - 1):, :]
     halo_q[:] = mq_d[tg - (k - 1):, :]
 
-    # ---- shaping FIR ----------------------------------------------------
+    # ---- shaping FIR + demod -------------------------------------------
     span = t + k - 1
     wt = w_ref[:].T  # [T, span]
-    outs_i, outs_q = [], []
-    for j in range(tg // t):
-        seg_i = lax.slice_in_dim(mi, j * t, j * t + span, axis=0)
-        seg_q = lax.slice_in_dim(mq, j * t, j * t + span, axis=0)
-        outs_i.append(_band_dot(wt, seg_i, prec))
-        outs_q.append(_band_dot(wt, seg_q, prec))
-    yi = jnp.concatenate(outs_i, axis=0)  # [tg, C_tile]
-    yq = jnp.concatenate(outs_q, axis=0)
+    band = _make_band_dot(wt, prec)
+    mode = mode_ref[0, :]
 
-    # squelch power: POST-shaping-FIR basis, unified with the direct engine
-    pacc_ref[:] += jnp.sum(yi * yi + yq * yq, axis=0, keepdims=True)
-
-    # ---- demod -----------------------------------------------------------
     @pl.when(ti == 0)
     def _():
         lag_ref[:] = prev_ref[:]
         atail_ref[1:, :] = ahist0_ref[:]  # block-carried audio history
 
-    lag_i = jnp.concatenate([lag_ref[0:1, :], yi[:-1, :]], axis=0)
-    lag_q = jnp.concatenate([lag_ref[1:2, :], yq[:-1, :]], axis=0)
+    if interleave:
+        # per-sub-tile FIR->demod: demod(j) depends only on dot(j) (plus
+        # dot(j-1)'s last row for the FM lag), so Mosaic's scheduler can
+        # run demod(j)'s VPU work concurrently with dot(j+1)'s MXU passes
+        # — the whole-tile concat form below serializes ALL dots before
+        # any demod (measured: interleaved MXU+VPU streams cost
+        # ~max(MXU, VPU), not the sum)
+        lag_row_i = lag_ref[0:1, :]
+        lag_row_q = lag_ref[1:2, :]
+        audio_subs = []
+        psub = jnp.zeros((1, xi.shape[-1]), jnp.float32)
+        last_i = last_q = None
+        for j in range(tg // t):
+            seg_i = lax.slice_in_dim(mi, j * t, j * t + span, axis=0)
+            seg_q = lax.slice_in_dim(mq, j * t, j * t + span, axis=0)
+            y_i = band(seg_i)
+            y_q = band(seg_q)
+            li = jnp.concatenate([lag_row_i, y_i[:-1, :]], axis=0)
+            lq = jnp.concatenate([lag_row_q, y_q[:-1, :]], axis=0)
+            audio_subs.append(_demod_laws(y_i, y_q, li, lq, mode, mode_set))
+            psub = psub + jnp.sum(y_i * y_i + y_q * y_q, axis=0,
+                                  keepdims=True)
+            lag_row_i = y_i[t - 1:, :]
+            lag_row_q = y_q[t - 1:, :]
+            last_i, last_q = y_i, y_q
+        audio = jnp.concatenate(audio_subs, axis=0)  # [tg, C_tile]
+        pacc_ref[:] += psub
+        lag_ref[0, :] = last_i[t - 1, :]
+        lag_ref[1, :] = last_q[t - 1, :]
+    else:
+        outs_i, outs_q = [], []
+        for j in range(tg // t):
+            seg_i = lax.slice_in_dim(mi, j * t, j * t + span, axis=0)
+            seg_q = lax.slice_in_dim(mq, j * t, j * t + span, axis=0)
+            outs_i.append(band(seg_i))
+            outs_q.append(band(seg_q))
+        yi = jnp.concatenate(outs_i, axis=0)  # [tg, C_tile]
+        yq = jnp.concatenate(outs_q, axis=0)
 
-    # all four laws + select: MEASURED faster than a per-tile uniform-mode
-    # scalar-prefetch branch (pl.when) writing a VMEM scratch — at
-    # C=32768/FM the branchy form cost +3.4 ms/block (register pressure +
-    # the scratch round-trip), while the straight-line select keeps the
-    # VPU pipeline full; the demod laws are NOT the kernel's bottleneck
-    # (USB and FM measure identical)
-    am = jnp.sqrt(yi * yi + yq * yq)
-    ii = yi * lag_i + yq * lag_q
-    qq = yq * lag_i - yi * lag_q
-    fm = atan2(ii, qq) * _INV_2PI  # reference arg order
-    usb = yi + yq
-    lsb = yi - yq
-    mode = mode_ref[0, :]
-    audio = jnp.where(
-        mode[None, :] == MODE_AM, am,
-        jnp.where(mode[None, :] == MODE_FM, fm,
-                  jnp.where(mode[None, :] == MODE_USB, usb, lsb)),
-    )
-    lag_ref[0, :] = yi[tg - 1, :]
-    lag_ref[1, :] = yq[tg - 1, :]
+        # squelch power: POST-shaping-FIR basis, unified with the direct
+        # engine
+        pacc_ref[:] += jnp.sum(yi * yi + yq * yq, axis=0, keepdims=True)
+
+        lag_i = jnp.concatenate([lag_ref[0:1, :], yi[:-1, :]], axis=0)
+        lag_q = jnp.concatenate([lag_ref[1:2, :], yq[:-1, :]], axis=0)
+
+        # straight-line laws + select: MEASURED faster than a per-tile
+        # uniform-mode scalar-prefetch RUNTIME branch (pl.when) writing a
+        # VMEM scratch (+3.4 ms at C=32768/FM — register pressure + the
+        # scratch round-trip); mode_set is the TRACE-TIME specialization
+        # that removes absent laws with no branch at all
+        audio = _demod_laws(yi, yq, lag_i, lag_q, mode, mode_set)
+        lag_ref[0, :] = yi[tg - 1, :]
+        lag_ref[1, :] = yq[tg - 1, :]
 
     # ---- decimating audio FIR: sub-tiled banded matmuls -----------------
     # ext_a[0] is audio-domain row row0-(K-1); output m of this tile reads
@@ -499,34 +594,37 @@ def _audio_tail_core(k_taps, fir_tile, d, tg, nd, prec, fast, xi, xq,
     span_sub, ta_sub = wa_ref.shape
     ext_a = jnp.concatenate([atail_ref[1:, :], audio], axis=0)[:span_a]
     wa_t = wa_ref[:].T  # [ta_sub, span_sub]
+    band_a = _make_band_dot(wa_t, prec)
     outs_a = []
     for jj in range(t_a // ta_sub):
         seg = lax.slice_in_dim(
             ext_a, jj * ta_sub * d, jj * ta_sub * d + span_sub, axis=0
         )
-        outs_a.append(_band_dot(wa_t, seg, prec))
+        outs_a.append(band_a(seg))
     audio_ref[:] = jnp.concatenate(outs_a, axis=0)  # [T_a, C_tile]
     atail_ref[:] = audio[tg - k:, :]  # last K audio rows (row 0 unused)
 
     # ---- carries out on the last time tile ------------------------------
     @pl.when(ti == n_ti - 1)
     def _():
-        nprev_ref[0, :] = yi[tg - 1, :]
-        nprev_ref[1, :] = yq[tg - 1, :]
+        # lag_ref was just set to the tile's last shaped (yi, yq) row —
+        # exactly the demod_prev carry, in both FIR/demod body forms
+        nprev_ref[:] = lag_ref[:]
         histi_ref[:] = mi_d[tg - (k - 1):, :]
         histq_ref[:] = mq_d[tg - (k - 1):, :]
         ahist_ref[:] = audio[tg - (k - 1):, :]
         power_ref[:] = pacc_ref[:] * np.float32(1.0 / nd)
 
 
-def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec, fast,
-                  ci_ref, cq_ref, *rest):
+def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec, fast, mode_set,
+                  interleave, ci_ref, cq_ref, *rest):
     """Plane-fed audio tail: selected-bin tiles arrive as inputs."""
-    _audio_tail_core(k_taps, fir_tile, d, tg, nd, prec, fast,
-                     ci_ref[:], cq_ref[:], *rest)
+    _audio_tail_core(k_taps, fir_tile, d, tg, nd, prec, fast, mode_set,
+                     interleave, ci_ref[:], cq_ref[:], *rest)
 
 
-def _kernel_pfb_audio(k_taps, fir_tile, d, tg, nd, prec, fast, pfb_prec,
+def _kernel_pfb_audio(k_taps, fir_tile, d, tg, nd, prec, fast, mode_set,
+                      interleave, pfb_prec,
                       fr_ref, wi_ref, wq_ref, *rest):
     """Filterbank-fused audio tail: the selected-bin values are produced
     HERE by the polyphase filterbank matmul on the im2col frame tile, so
@@ -544,8 +642,8 @@ def _kernel_pfb_audio(k_taps, fir_tile, d, tg, nd, prec, fast, pfb_prec,
     fr = fr_ref[:]
     xi = _band_dot(fr, wi_ref[:], pfb_prec)
     xq = _band_dot(fr, wq_ref[:], pfb_prec)
-    _audio_tail_core(k_taps, fir_tile, d, tg, nd, prec, fast, xi, xq,
-                     *rest)
+    _audio_tail_core(k_taps, fir_tile, d, tg, nd, prec, fast, mode_set,
+                     interleave, xi, xq, *rest)
 
 
 #: output-row sub-tile for the in-kernel decimating audio FIR (see
@@ -581,7 +679,7 @@ def _audio_time_tile(nd: int, d: int, fir_tile: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("decimation", "interpret", "precision", "packed",
-                     "fast"),
+                     "fast", "mode_set", "interleave"),
 )
 def fused_tail_audio_tm(
     ci_planes: jax.Array,
@@ -600,6 +698,8 @@ def fused_tail_audio_tm(
     precision: lax.Precision = lax.Precision.HIGHEST,
     packed: bool = False,
     fast: bool = False,
+    mode_set: tuple | None = None,
+    interleave: bool | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array,
            jax.Array]:
     """:func:`fused_tail_tm` extended through the decimating audio FIR.
@@ -628,6 +728,8 @@ def fused_tail_audio_tm(
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
+    if interleave is None:
+        interleave = _interleave_default()
     nd, c = ci_planes.shape
     if packed:
         c //= 2
@@ -673,7 +775,8 @@ def fused_tail_audio_tm(
     time_chan_q = (lambda i, j, *_: (j, i + n_ct)) if packed else time_chan
 
     audio48, nprev, histi, histq, ahist, power = pl.pallas_call(
-        functools.partial(_kernel_audio, k, t, d, tg, nd, precision, fast),
+        functools.partial(_kernel_audio, k, t, d, tg, nd, precision, fast,
+                          mode_set, interleave),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tg, CHAN_TILE), time_chan,
@@ -743,7 +846,7 @@ def fused_tail_audio_tm(
 @functools.partial(
     jax.jit,
     static_argnames=("decimation", "interpret", "precision", "packed",
-                     "fast", "pfb_precision"),
+                     "fast", "pfb_precision", "mode_set", "interleave"),
 )
 def fused_pfb_tail_audio_tm(
     frames: jax.Array,
@@ -763,6 +866,8 @@ def fused_pfb_tail_audio_tm(
     packed: bool = True,  # signature parity; frames are inherently packed
     fast: bool = False,
     pfb_precision: lax.Precision = lax.Precision.DEFAULT,
+    mode_set: tuple | None = None,
+    interleave: bool | None = None,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
     """:func:`fused_tail_audio_tm` with the polyphase filterbank matmul
     fused into the kernel's first pass.
@@ -802,6 +907,8 @@ def fused_pfb_tail_audio_tm(
         # (precision flags are TPU pass counts); skip the manual bf16x3
         # split so both engines agree bit-near off-TPU
         pfb_precision = lax.Precision.HIGHEST
+    if interleave is None:
+        interleave = _interleave_default()
     nd, kp2 = frames.shape
     c = pfb_weights.shape[-1] // 2
     d = int(decimation)
@@ -842,7 +949,7 @@ def fused_pfb_tail_audio_tm(
 
     audio48, nprev, histi, histq, ahist, power = pl.pallas_call(
         functools.partial(_kernel_pfb_audio, k, t, d, tg, nd, precision,
-                          fast, pfb_precision),
+                          fast, mode_set, interleave, pfb_precision),
         grid=grid,
         in_specs=[
             # shared frame rows for this time step (refetched per channel

@@ -218,11 +218,9 @@ def _shard_body_tm(cfg: ChannelizedConfig, t_shards: int, c_shards: int,
     audio_hist = jnp.where(tidx == 0, state.audio_hist.T, audio_halo)
 
     # ---- main tail: identical to the single-chip time-major path
-    prec = (
-        lax.Precision.HIGHEST
-        if cfg.fir_precision == "highest"
-        else lax.Precision.HIGH
-    )
+    from ..pipeline.channelized import _fir_prec, _xla_prec
+
+    prec = _fir_prec(cfg)
     audio = None
     if use_pallas:
         from ..ops.pallas_tail_tm import (
@@ -250,7 +248,8 @@ def _shard_body_tm(cfg: ChannelizedConfig, t_shards: int, c_shards: int,
         x2 = jnp.concatenate([mi, mq], axis=1)
         y2, _ = ops.fir_decimate_toeplitz_tm(
             x2, params.chan_toep, 1,
-            jnp.concatenate([hist_i, hist_q], axis=1), precision=prec,
+            jnp.concatenate([hist_i, hist_q], axis=1),
+            precision=_xla_prec(prec),
         )
         audio_tm, _ = ops.demodulate_tm(
             y2[:, :c_local], y2[:, c_local:], params.mode, prev
@@ -260,7 +259,7 @@ def _shard_body_tm(cfg: ChannelizedConfig, t_shards: int, c_shards: int,
     if audio is None:
         audio, _ = ops.fir_decimate_toeplitz_tm(
             audio_tm, params.audio_toep, cfg.audio_decim, audio_hist,
-            precision=prec,
+            precision=_xla_prec(prec),
         )
     audio = audio.T  # [C_local, audio_frames_local]
 
@@ -472,7 +471,13 @@ class ShardedChannelizedFrontEnd:
 
         from .. import ops
 
-        iq = jnp.asarray(np.ascontiguousarray(iq_planes, np.float32))
+        if isinstance(iq_planes, jax.Array):
+            # multihost serving hands in the already-assembled global
+            # block (multihost.make_global_block) — converting through
+            # numpy would both gather it and strip the sharding
+            iq = iq_planes
+        else:
+            iq = jnp.asarray(np.ascontiguousarray(iq_planes, np.float32))
         self.state, audio, spectra = self._step(self.params, self.state, iq)
         latest_db = ops.spectrum_db(spectra[:, spectra.shape[1] - 1, :])
         result = None

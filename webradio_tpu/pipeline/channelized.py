@@ -69,9 +69,12 @@ class ChannelizedConfig:
     #: Set False for bit-level table semantics in the time-major path.
     fast_nco: bool = True
     #: MXU pass count for the time-major Toeplitz FIRs: "highest" (bf16x6,
-    #: float32-identical to the direct form) or "high" (bf16x3, ~half the
-    #: MXU work at ~90 dB SNR vs the direct form — ample for the audio
-    #: chain, whose reference is float32 end-to-end anyway).
+    #: float32-identical to the direct form), "hx5"/"hx4" (host-exact
+    #: 3-term weight split x 2-term data split, 5/4 passes — see
+    #: ops.pallas_tail_tm._make_band_dot; Pallas-kernel tiers, mapped to
+    #: "highest" on the XLA tail), or "high" (bf16x3, ~half the MXU work
+    #: at ~90 dB SNR vs the direct form — ample for the audio chain,
+    #: whose reference is float32 end-to-end anyway).
     fir_precision: str = "highest"
     #: mix+shaping-FIR+demod implementation for the time-major path:
     #: "xla" (unfused ops; XLA fuses), "pallas" (ops/pallas_tail_tm.py
@@ -100,7 +103,7 @@ class ChannelizedConfig:
     #: FIR design law (see ChainConfig.fir_design)
     fir_design: str = "reference"
 
-    _FIR_PRECISIONS = ("highest", "high")
+    _FIR_PRECISIONS = ("highest", "hx5", "hx4", "high")
     _TAIL_KERNELS = ("auto", "xla", "pallas", "pallas_pfb")
     _PFB_PRECISIONS = ("default", "high", "highest", "u8exact")
 
@@ -342,6 +345,41 @@ def _channelize_tm(cfg, params, pfb_hist, iq, split):
     )
 
 
+def _fir_prec(cfg: ChannelizedConfig):
+    """FIR tier (cfg.fir_precision -> lax.Precision or a Pallas string
+    tier). "hx5"/"hx4" exist only in the fused kernels' _make_band_dot;
+    XLA call sites map them to HIGHEST via :func:`_xla_prec` (an in-jit
+    weight split would be elided by XLA anyway — BASELINE r3 #6)."""
+    import jax as _jax
+
+    return {
+        "highest": _jax.lax.Precision.HIGHEST,
+        "high": _jax.lax.Precision.HIGH,
+        "hx5": "hx5",
+        "hx4": "hx4",
+    }[cfg.fir_precision]
+
+
+def _xla_prec(prec):
+    """The lax.Precision an XLA dot should use for a FIR tier."""
+    import jax as _jax
+
+    return _jax.lax.Precision.HIGHEST if isinstance(prec, str) else prec
+
+
+def mode_set_of(modes) -> tuple[int, ...]:
+    """STATIC demod-law set for the fused kernels: the sorted distinct
+    mode ids of a host-side mode array. Passing it to
+    :func:`channelized_step` lets the kernel evaluate only the laws
+    actually present (the common all-FM monitoring case drops the AM
+    sqrt, the linear laws and the whole select chain). A control write
+    introducing a NEW law retraces once — the same accepted trade as
+    param-structure changes."""
+    import numpy as _np
+
+    return tuple(sorted({int(m) for m in _np.asarray(modes).ravel()}))
+
+
 def _pfb_prec(cfg: ChannelizedConfig):
     """Filterbank matmul precision (cfg.pfb_precision -> lax.Precision).
 
@@ -382,18 +420,22 @@ def _use_pallas_tm(cfg: ChannelizedConfig, nd: int, params) -> bool:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+@functools.partial(jax.jit, static_argnames=("cfg", "mode_set"),
+                   donate_argnames=("state",))
 def channelized_step(
     cfg: ChannelizedConfig,
     params: ChannelizedParams,
     state: ChannelizedState,
     iq: jax.Array,
+    mode_set: tuple | None = None,
 ) -> tuple[ChannelizedState, jax.Array, jax.Array]:
     """One block through spectrum + filterbank + every receiver tail.
 
     Args/returns mirror :func:`frontend_step`: ``iq [2, block_frames]``
     float32 in; ``(state, audio [C, audio_frames], spectra
-    [2, blocks, fft_size])`` out.
+    [2, blocks, fft_size])`` out. ``mode_set`` (:func:`mode_set_of`)
+    statically specializes the fused kernels' demod section to the laws
+    present; None keeps the generic all-law kernel.
     """
     spectra = ops.spectrum_accumulate(iq, cfg.fft_size)
 
@@ -418,11 +460,7 @@ def channelized_step(
     if use_tm:
         c = cfg.num_channels
         use_pallas = _use_pallas_tm(cfg, nd, params)
-        prec = (
-            jax.lax.Precision.HIGHEST
-            if cfg.fir_precision == "highest"
-            else jax.lax.Precision.HIGH
-        )
+        prec = _fir_prec(cfg)
         audio = None
         power = None
         if use_pallas:
@@ -457,7 +495,7 @@ def channelized_step(
                         state.chan_hist[0].T, state.chan_hist[1].T,
                         state.demod_prev, state.audio_hist.T,
                         precision=prec, fast=cfg.fast_nco,
-                        pfb_precision=_pfb_prec(cfg),
+                        pfb_precision=_pfb_prec(cfg), mode_set=mode_set,
                     )
                 )
                 audio, audio_hist_tm = audio_tm48, ahist
@@ -478,6 +516,7 @@ def channelized_step(
                         state.chan_hist[0].T, state.chan_hist[1].T,
                         state.demod_prev, state.audio_hist.T,
                         precision=prec, packed=True, fast=cfg.fast_nco,
+                        mode_set=mode_set,
                     )
                 )
                 audio, audio_hist_tm = audio_tm48, ahist
@@ -490,7 +529,7 @@ def channelized_step(
                     params.chan_toep, params.mode,
                     state.chan_hist[0].T, state.chan_hist[1].T,
                     state.demod_prev, precision=prec, packed=True,
-                    fast=cfg.fast_nco,
+                    fast=cfg.fast_nco, mode_set=mode_set,
                 )
             chan_hist_new = jnp.stack([hist_i.T, hist_q.T])
         else:
@@ -505,7 +544,7 @@ def channelized_step(
                 [state.chan_hist[0].T, state.chan_hist[1].T], axis=1
             )  # [K-1, 2C] (tiny transposes)
             y2, h2 = ops.fir_decimate_toeplitz_tm(
-                x2, params.chan_toep, 1, hist_tm, precision=prec
+                x2, params.chan_toep, 1, hist_tm, precision=_xla_prec(prec)
             )
             audio_tm, demod_prev = ops.demodulate_tm(
                 y2[:, :c], y2[:, c:], params.mode, state.demod_prev
@@ -516,7 +555,7 @@ def channelized_step(
         if audio is None:
             audio, audio_hist_tm = ops.fir_decimate_toeplitz_tm(
                 audio_tm, params.audio_toep, cfg.audio_decim,
-                state.audio_hist.T, precision=prec,
+                state.audio_hist.T, precision=_xla_prec(prec),
             )
         audio = audio.T  # [C, audio_frames] — the host layout
         # squelch gate power: POST-shaping-FIR (in-band) mean |y|^2, the
@@ -586,16 +625,19 @@ def channelized_step(
     return new_state, audio, spectra
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
+@functools.partial(jax.jit, static_argnames=("cfg", "mode_set"),
+                   donate_argnames=("state",))
 def channelized_step_serving(
     cfg: ChannelizedConfig,
     params: ChannelizedParams,
     state: ChannelizedState,
     iq: jax.Array,
+    mode_set: tuple | None = None,
 ) -> tuple[ChannelizedState, jax.Array, jax.Array]:
     """Serving variant: (state, audio, latest spectrum row in dB) — the
     channelized counterpart of ``frontend_step_serving``."""
-    new_state, audio, spectra = channelized_step(cfg, params, state, iq)
+    new_state, audio, spectra = channelized_step(cfg, params, state, iq,
+                                                 mode_set=mode_set)
     latest_db = ops.spectrum_db(spectra[:, spectra.shape[1] - 1, :])
     return new_state, audio, latest_db
 
@@ -611,14 +653,19 @@ class ChannelizedPipeline:
         self.params = params
         self.state = init_channelized_state(cfg)
         self._pending = None
+        self._mode_set = mode_set_of(params.mode)
 
     def update_params(self, params: ChannelizedParams) -> None:
         self.params = params
+        # static demod-law specialization for the fused kernels; params
+        # were just built host-side, so the fetch is a no-op sync
+        self._mode_set = mode_set_of(params.mode)
 
     def process_host(self, iq_planes: np.ndarray):
         iq = jnp.asarray(iq_planes)
         self.state, audio, latest_db = channelized_step_serving(
-            self.cfg, self.params, self.state, iq
+            self.cfg, self.params, self.state, iq,
+            mode_set=self._mode_set,
         )
         result = None
         if self._pending is not None:
@@ -637,7 +684,8 @@ class ChannelizedPipeline:
         from .stream import scan_serving
 
         self.state, audio, latest_db = scan_serving(
-            self.cfg, self.params, self.state, jnp.asarray(blocks)
+            self.cfg, self.params, self.state, jnp.asarray(blocks),
+            mode_set=self._mode_set,
         )
         result = None
         if self._pending is not None:

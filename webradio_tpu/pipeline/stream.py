@@ -68,8 +68,9 @@ def run_capture(
     return final, audio, latest
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnames=("state",))
-def scan_serving(cfg, params, state, blocks):
+@functools.partial(jax.jit, static_argnames=("cfg", "mode_set"),
+                   donate_argnames=("state",))
+def scan_serving(cfg, params, state, blocks, mode_set=None):
     """Serving catch-up scan: k blocks in ONE dispatch.
 
     Used by the live pump when the ring backs up (a stall, a tunnel
@@ -77,15 +78,17 @@ def scan_serving(cfg, params, state, blocks):
     as one ``lax.scan`` — per-call dispatch overhead is paid once.
     Returns ``(state, audio [k, C, audio_frames], latest_db)`` where
     ``latest_db`` is the LAST block's dB spectrum row (intermediate rows
-    would be overwritten before any reader saw them).
+    would be overwritten before any reader saw them). ``mode_set`` is
+    the channelized engine's static demod-law specialization (ignored
+    by the direct engine).
     """
     from .. import ops
     from .channelized import ChannelizedConfig, channelized_step
 
-    step = (
-        channelized_step if isinstance(cfg, ChannelizedConfig)
-        else frontend_step
-    )
+    if isinstance(cfg, ChannelizedConfig):
+        step = functools.partial(channelized_step, mode_set=mode_set)
+    else:
+        step = frontend_step
 
     def body(carry, iq):
         s, audio, spectra = step(cfg, params, carry, iq)
