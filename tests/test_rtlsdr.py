@@ -131,6 +131,46 @@ class FakeLib:
         return 0
 
 
+class FakeAsyncLib(FakeLib):
+    """FakeLib + the async capture API: the callback is driven from the
+    reader thread until cancel, mirroring rtlsdr_read_async semantics."""
+
+    def __init__(self, chunks_before_idle=4, chunk_len=4096):
+        super().__init__()
+        import threading
+
+        self.cancelled = threading.Event()
+        self.session_done = threading.Event()
+        self.chunks_before_idle = chunks_before_idle
+        self.chunk_len = chunk_len
+        self.die_after = None  # emit N chunks then return (device loss)
+
+    def rtlsdr_read_async(self, dev, cb, ctx, n_bufs, buf_len):
+        self.calls.append(("read_async", buf_len))
+        sent = 0
+        pos = 0
+        while not self.cancelled.is_set():
+            if self.die_after is not None and sent >= self.die_after:
+                self.session_done.set()
+                return -5  # device vanished mid-stream
+            raw = bytes(((self.fill + pos + i) % 256)
+                        for i in range(self.chunk_len))
+            pos += self.chunk_len
+            buf = (ctypes.c_ubyte * self.chunk_len).from_buffer_copy(raw)
+            cb(buf, self.chunk_len, None)
+            sent += 1
+            if sent >= self.chunks_before_idle:
+                # emulate the USB cadence: wait for cancel
+                self.cancelled.wait(0.05)
+        self.session_done.set()
+        return 0
+
+    def rtlsdr_cancel_async(self, dev):
+        self.calls.append(("cancel_async",))
+        self.cancelled.set()
+        return 0
+
+
 @pytest.fixture
 def fake():
     lib = FakeLib()
@@ -208,6 +248,99 @@ def test_capture_conversion_u8_to_float(fake):
     expect = (raw - 128.0) / 128.0
     np.testing.assert_allclose(block.real, expect[0::2], atol=0)
     np.testing.assert_allclose(block.imag, expect[1::2], atol=0)
+
+
+@pytest.fixture
+def fake_async():
+    lib = FakeAsyncLib()
+    old = rtlsdr._LIB
+    rtlsdr.set_library(lib)
+    yield lib
+    rtlsdr.set_library(old)
+
+
+def test_async_capture_and_conversion(fake_async):
+    """With the async API present the driver captures via
+    rtlsdr_read_async on a reader thread (rtlsdrtuner.cxx:65-117): blocks
+    assemble from callback chunks with the same u8 conversion law."""
+    # 2 chunks of 4096 cover one 2048-frame block exactly
+    fake_async.chunks_before_idle = 8
+    t = rtlsdr.RtlSdrTuner("")
+    t.set_sample_rate(1_024_000)
+    t.set_block_frames(2048)
+    assert t.start()
+    assert isinstance(t.source, rtlsdr._RtlSdrAsyncSource)
+    assert ("read_async", rtlsdr._ASYNC_BUF_BYTES) in fake_async.calls
+    block = t.read_block()
+    assert block is not None and block.shape == (2048,)
+    raw = np.array([(128 + i) % 256 for i in range(4096)], np.float32)
+    expect = (raw - 128.0) / 128.0
+    np.testing.assert_allclose(block.real, expect[0::2], atol=0)
+    t.stop()
+    assert ("cancel_async",) in fake_async.calls
+    assert fake_async.session_done.wait(2.0)
+    assert fake_async.open_index is None  # closed after the join
+
+
+def test_async_overrun_counts_lost_bytes(fake_async):
+    """Queue overflow drops oldest and COUNTS the loss — the reference's
+    "Lost N bytes" accounting (rtlsdrtuner.cxx:99-102) — and the tuner
+    exposes it for /status."""
+    t = rtlsdr.RtlSdrTuner("")
+    t.set_sample_rate(1_024_000)
+    t.set_block_frames(2048)
+    assert t.start()
+    # no consumer draining: push far beyond the 4-block capacity
+    cap = t._chunks.max_bytes
+    for _ in range(2 * cap // 4096 + 2):
+        t._chunks.push(b"\x80" * 4096)
+    assert t.lost_bytes > 0
+    assert t.lost_bytes % 4096 == 0
+    t.stop()
+
+
+def test_async_control_write_does_not_wait_for_capture(fake_async):
+    """Setters write through while the reader sits in read_async — the
+    PUT path never queues behind a blocking read (the r3 design's
+    dev-lock serialization; reference setters are immediate,
+    rtlsdrtuner.cxx:119-183)."""
+    import time as _time
+
+    t = rtlsdr.RtlSdrTuner("")
+    t.set_sample_rate(2_400_000)
+    t.set_block_frames(102_400)
+    assert t.start()
+    t0 = _time.monotonic()
+    t.set_centre_frequency(100_000_000)
+    elapsed = _time.monotonic() - t0
+    assert fake_async.centre == 100_000_000
+    assert elapsed < 0.5  # immediate, not a block period behind
+    t.stop()
+
+
+def test_async_device_loss_ends_stream(fake_async):
+    """read_async returning mid-stream (dongle unplugged) closes the
+    chunk queue so block assembly reports end-of-stream instead of
+    hanging."""
+    fake_async.die_after = 1
+    fake_async.chunk_len = 1024
+    t = rtlsdr.RtlSdrTuner("")
+    t.set_sample_rate(1_024_000)
+    t.set_block_frames(2048)  # needs 4096 bytes; only 1024 ever arrive
+    assert t.start()
+    assert t.read_block() is None
+    t.stop()
+
+
+def test_sync_fallback_without_async_api(fake):
+    """A librtlsdr without rtlsdr_read_async still captures (sync path)."""
+    t = rtlsdr.RtlSdrTuner("")
+    t.set_sample_rate(1_024_000)
+    t.set_block_frames(256)
+    assert t.start()
+    assert isinstance(t.source, rtlsdr._RtlSdrSource)
+    assert t.read_block() is not None
+    t.stop()
 
 
 def test_graceful_absence_without_library():

@@ -542,9 +542,13 @@ def test_checkpoint_roundtrip(app, tmp_path):
     assert rx and rx[0]["demodulator"] == "USB"
     assert rx[0]["af_gain"] == 7
     assert rx[0]["squelch_threshold"] == -42.5
-    # engine shape survives too (capacity may have grown live)
+    # capacity (the one live-mutable deployment field) survives as
+    # max(saved, config); engine/precisions are deliberately NOT merged
+    # — the topology config stays authoritative for deployment settings,
+    # so an operator's edit is never silently ignored (ADVICE r3)
     assert merged["tuners"][0]["capacity"] == len(app.front_ends[0]._slots)
-    assert merged["tuners"][0]["engine"] == app.front_ends[0].engine
+    assert (merged["tuners"][0].get("engine")
+            == app.config["tuners"][0].get("engine"))
 
     # a JSON-null squelch (gate off) round-trips as null, not a default
     app.receivers[0].update(squelch_threshold=None)

@@ -13,12 +13,24 @@ closed (rtlsdrtuner.cxx:119-183), with live tuner-gain readback under AGC
 This module is the same capability over ctypes: no compile-time
 dependency, graceful absence when ``librtlsdr.so`` is not installed
 (``rtlsdr_available()``), and the same open-by-serial / readback /
-write-through semantics. Capture uses ``rtlsdr_read_sync`` from the
-framework's capture thread (io/ring.CaptureThread): the reference's async
-callback + 4-slot ring decouples USB cadence from DSP cadence
-(rtlsdrtuner.cxx:65-117), which here is exactly the CaptureThread ->
-BlockRing pipeline every tuner already runs through — blocking block
-reads with drop-with-log backpressure land in the same place.
+write-through semantics.
+
+Capture is ASYNC like the reference's (rtlsdrtuner.cxx:65-117): a
+dedicated reader thread sits in ``rtlsdr_read_async`` so USB bulk
+transfers are continuously submitted — the RTL2832 only streams while a
+transfer is pending, so any gap between synchronous reads silently drops
+samples with no accounting. The C callback lands chunks in a bounded
+byte queue (the analog of the reference's 4-slot ring); overruns there
+are COUNTED and logged ("Lost N bytes", rtlsdrtuner.cxx:99-102) and
+surface as ``lost_bytes`` in ``/status``. Block assembly happens on the
+framework capture thread (io/ring.CaptureThread) feeding BlockRing as
+before. Control setters write through WITHOUT queueing behind capture:
+the reader thread never holds the device lock (librtlsdr control calls
+are safe concurrent with async capture — the reference's setters write
+through the same way, rtlsdrtuner.cxx:119-183), so a PUT
+/tuners/.../control applies immediately instead of waiting out a 42.7 ms
+blocking read. ``rtlsdr_read_sync`` remains as a fallback for librtlsdr
+builds without the async API.
 
 The u8 -> float conversion matches the reference: ``(x - 128) / 128``
 (rtlsdrtuner.cxx:92-95).
@@ -57,6 +69,10 @@ def _load_librtlsdr():
 #: the loaded library, or None. Tests inject a fake here (and via
 #: set_library) — the only seam the mocked unit tests need.
 _LIB = _load_librtlsdr()
+
+#: per-transfer USB buffer size handed to rtlsdr_read_async. librtlsdr's
+#: default (16 * 32 KB x 15 transfers); ~9 callbacks/s at 2.4 Msps.
+_ASYNC_BUF_BYTES = 262_144
 
 
 def rtlsdr_available() -> bool:
@@ -107,12 +123,159 @@ def list_devices() -> list[dict]:
     return out
 
 
-class _RtlSdrSource(SampleSource):
-    """Blocking block reads via ``rtlsdr_read_sync``.
+#: librtlsdr async read callback: (unsigned char *buf, uint32_t len, void *ctx)
+_READ_ASYNC_CB = ctypes.CFUNCTYPE(
+    None, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_uint32, ctypes.c_void_p
+)
 
-    Runs on the framework capture thread (io/ring.CaptureThread), which
-    plays the role of the reference's USB async thread; backpressure is
-    the BlockRing's drop-with-log (rtlsdrtuner.cxx:99-102)."""
+
+class _ChunkQueue:
+    """Bounded byte-chunk queue between the USB callback and block
+    assembly — the reference's 4-slot capture ring with its "Lost N
+    bytes" overrun accounting (rtlsdrtuner.cxx:33-34,99-102). Overflow
+    drops OLDEST (the live edge matters) and counts the lost bytes."""
+
+    def __init__(self, max_bytes: int):
+        self.max_bytes = int(max_bytes)
+        self.lost_bytes = 0
+        self._chunks: list[bytes] = []
+        self._size = 0
+        self._cv = threading.Condition()
+        self._closed = False
+
+    def push(self, data: bytes) -> None:
+        with self._cv:
+            if self._closed:
+                return
+            lost = 0
+            while self._size + len(data) > self.max_bytes and self._chunks:
+                dropped = self._chunks.pop(0)
+                self._size -= len(dropped)
+                lost += len(dropped)
+            if lost:
+                self.lost_bytes += lost
+                log.warning("rtlsdr: lost %d bytes (capture overrun, "
+                            "%d total)", lost, self.lost_bytes)
+            self._chunks.append(data)
+            self._size += len(data)
+            self._cv.notify()
+
+    def pop_exact(self, n: int, timeout: float = 2.0) -> bytes | None:
+        """Assemble exactly ``n`` bytes; None once closed and drained or
+        on timeout (the capture thread treats None as end-of-stream)."""
+        out = bytearray()
+        deadline = None
+        with self._cv:
+            while len(out) < n:
+                if self._chunks:
+                    chunk = self._chunks.pop(0)
+                    self._size -= len(chunk)
+                    take = n - len(out)
+                    out += chunk[:take]
+                    if len(chunk) > take:
+                        # return the remainder to the queue head
+                        self._chunks.insert(0, chunk[take:])
+                        self._size += len(chunk) - take
+                    continue
+                if self._closed:
+                    return None
+                import time as _time
+
+                if deadline is None:
+                    deadline = _time.monotonic() + timeout
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    return None
+                self._cv.wait(remaining)
+        return bytes(out)
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+
+
+class _AsyncReader(threading.Thread):
+    """Owns the blocking ``rtlsdr_read_async`` session.
+
+    librtlsdr keeps ~15 USB bulk transfers continuously submitted while
+    this call runs, which is what keeps the RTL2832 streaming without
+    gaps; the callback copies each buffer into the chunk queue. The
+    session ends via ``rtlsdr_cancel_async`` (stop) or device loss
+    (read_async returns on its own) — either way the queue is closed so
+    the block assembler sees end-of-stream."""
+
+    def __init__(self, dev, chunks: _ChunkQueue, buf_bytes: int,
+                 name: str = "rtlsdr-usb"):
+        super().__init__(daemon=True, name=name)
+        self._dev = dev
+        self._chunks = chunks
+        self._buf_bytes = int(buf_bytes)
+        self.rc = None
+
+        def on_samples(buf, length, _ctx):
+            try:
+                self._chunks.push(ctypes.string_at(buf, length))
+            except Exception:  # never let an exception cross into C
+                log.debug("rtlsdr: async callback failed", exc_info=True)
+
+        # the CFUNCTYPE object must outlive the session (held on self)
+        self._cb = _READ_ASYNC_CB(on_samples)
+
+    def run(self) -> None:
+        try:
+            self.rc = _LIB.rtlsdr_read_async(
+                self._dev, self._cb, None, 0, self._buf_bytes
+            )
+        except Exception:
+            log.exception("rtlsdr: read_async failed")
+            self.rc = -1
+        finally:
+            # stop() closed us intentionally, or the device vanished —
+            # both end the stream for the block assembler
+            self._chunks.close()
+
+
+class _RtlSdrAsyncSource(SampleSource):
+    """Block assembly from the async chunk queue (the preferred path)."""
+
+    def __init__(self, tuner: "RtlSdrTuner"):
+        super().__init__()
+        self._tuner = tuner
+
+    def read_block(self) -> np.ndarray | None:
+        chunks = self._tuner._chunks
+        if chunks is None:
+            return None
+        raw = chunks.pop_exact(self.block_frames * 2,
+                               timeout=max(2.0, 4 * self.block_frames
+                                           / max(1, self.sample_rate)))
+        if raw is None:
+            if not self._tuner._closing:
+                reader = self._tuner._reader
+                if reader is not None and not reader.is_alive():
+                    log.error("rtlsdr: device stream ended (rc=%s)",
+                              reader.rc)
+            return None  # end of stream (stop or device loss)
+        return _u8_to_complex(raw)
+
+
+def _u8_to_complex(raw: bytes) -> np.ndarray:
+    """``(x - 128) / 128`` interleaved u8 -> complex64
+    (rtlsdrtuner.cxx:92-95)."""
+    f = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32)
+         - 128.0) / 128.0
+    return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+
+
+class _RtlSdrSource(SampleSource):
+    """Blocking block reads via ``rtlsdr_read_sync`` — the FALLBACK for
+    librtlsdr builds without the async API.
+
+    Runs on the framework capture thread (io/ring.CaptureThread);
+    backpressure is the BlockRing's drop-with-log. Note the async path
+    is strictly better: between sync reads the dongle has no submitted
+    transfer and silently drops samples with no accounting."""
 
     #: consecutive failed reads tolerated before declaring end-of-stream
     #: (the reference's async model logs overruns and keeps streaming,
@@ -150,9 +313,7 @@ class _RtlSdrSource(SampleSource):
             # transient hiccup: emit one silent block and keep streaming
             return np.zeros(self.block_frames, np.complex64)
         self._fail_count = 0
-        raw = np.frombuffer(buf, dtype=np.uint8).astype(np.float32)
-        f = (raw - 128.0) / 128.0  # rtlsdrtuner.cxx:92-95
-        return (f[0::2] + 1j * f[1::2]).astype(np.complex64)
+        return _u8_to_complex(buf.raw)
 
 
 class RtlSdrTuner(Tuner):
@@ -177,6 +338,8 @@ class RtlSdrTuner(Tuner):
         #: use-after-free
         self._dev_lock = threading.RLock()
         self._requested_serial = subdevice
+        self._chunks: _ChunkQueue | None = None
+        self._reader: _AsyncReader | None = None
         self.xtal_hz = 0
         self.tuner_xtal_hz = 0
         super().__init__(RandSource(), name="RTL-SDR USB dongle")
@@ -252,26 +415,71 @@ class RtlSdrTuner(Tuner):
                 self.set_gain_db(self._gain_db)
             _LIB.rtlsdr_reset_buffer(dev)
         old = self.source
-        src = _RtlSdrSource(self)
-        src.sample_rate = old.sample_rate
-        src.block_frames = old.block_frames
+        if hasattr(_LIB, "rtlsdr_read_async"):
+            # preferred: continuous USB transfers + in-driver loss
+            # accounting (module docstring; rtlsdrtuner.cxx:65-117)
+            src = _RtlSdrAsyncSource(self)
+            src.sample_rate = old.sample_rate
+            src.block_frames = old.block_frames
+            # capacity = the reference's 4-block stall tolerance
+            # (rtlsdrtuner.cxx:33-34), in bytes of interleaved u8 IQ
+            self._chunks = _ChunkQueue(
+                max_bytes=max(4 * src.block_frames * 2, 1 << 20)
+            )
+            self._reader = _AsyncReader(
+                self._dev, self._chunks,
+                buf_bytes=_ASYNC_BUF_BYTES,
+                name=f"rtlsdr-usb-{self.serial or 'dev0'}",
+            )
+            self._reader.start()
+        else:
+            src = _RtlSdrSource(self)
+            src.sample_rate = old.sample_rate
+            src.block_frames = old.block_frames
         self.source = src
         return self.source.start()
 
     def stop(self) -> None:
-        # sequence: flag the capture loop off, stop the source, then
-        # close the device UNDER the device lock — an in-flight
-        # rtlsdr_read_sync (<= one 42.7 ms block) or control write
-        # finishes first, so the handle is never freed mid-call (the
-        # reference cancels its async reader and joins before closing,
-        # rtlsdrtuner.cxx:253-263)
+        # sequence: flag the capture loop off, cancel the async session
+        # and JOIN the reader (the reference cancels its async reader and
+        # joins before closing, rtlsdrtuner.cxx:253-263), stop the
+        # source, then close the device UNDER the device lock — so the
+        # handle is never freed while any librtlsdr call is in flight
         self._closing = True
         try:
+            reader, self._reader = self._reader, None
+            if reader is not None and self._dev is not None:
+                # cancel can race read_async's startup; retry until the
+                # reader leaves the C call
+                for _ in range(25):
+                    try:
+                        _LIB.rtlsdr_cancel_async(self._dev)
+                    except Exception:
+                        break
+                    reader.join(timeout=0.2)
+                    if not reader.is_alive():
+                        break
+                if reader.is_alive():
+                    log.warning("rtlsdr: async reader did not exit; "
+                                "leaving device open (leak over UAF)")
+                    self._closing = False
+                    super().stop()
+                    return
+            if self._chunks is not None:
+                self._chunks.close()
+                self._chunks = None
             super().stop()
             with self._dev_lock:
                 self._close()
         finally:
             self._closing = False
+
+    @property
+    def lost_bytes(self) -> int:
+        """Driver-level capture overrun accounting (the reference's
+        "Lost N bytes" counter, rtlsdrtuner.cxx:99-102)."""
+        chunks = self._chunks
+        return chunks.lost_bytes if chunks is not None else 0
 
     # ---- readback ----------------------------------------------------
     @property

@@ -184,14 +184,25 @@ class AudioStreamManager:
                 mount.closed = True  # publishes/racing subscribes bail
                 # deliver each format's final partial frame (LAME flush)
                 # before ending the streams — finite recordings keep
-                # their tail (VERDICT r2 weak #8)
-                tails = {fmt: enc.close()
-                         for fmt, enc in mount.encoders.items()}
+                # their tail (VERDICT r2 weak #8). Each close/push is
+                # isolated: one encoder's native flush raising (ctypes/
+                # LAME) must not leave the other formats' consumers open
+                # — the mount is already out of the registry, so a
+                # skipped close would leak the stream forever.
+                tails = {}
+                for fmt, enc in mount.encoders.items():
+                    try:
+                        tails[fmt] = enc.close()
+                    except Exception:
+                        log.exception("mount %s: %s encoder flush failed",
+                                      mountpoint, fmt)
                 for c in mount.consumers:
-                    tail = tails.get(c.fmt)
-                    if tail:
-                        c.push(tail)
-                    c.close()
+                    try:
+                        tail = tails.get(c.fmt)
+                        if tail:
+                            c.push(tail)
+                    finally:
+                        c.close()
                 mount.consumers.clear()
 
     @classmethod

@@ -123,6 +123,11 @@ class StatusHandler(HttpRequestHandler):
                 # pump actually pays each block
                 "last_dispatch_ms": round(fe.last_dispatch_ns / 1e6, 2),
                 "overload_events": fe.overload_events,
+                # driver-level USB overrun accounting (RtlSdrTuner async
+                # capture; the reference's "Lost N bytes" health metric,
+                # rtlsdrtuner.cxx:99-102) — absent for synthetic tuners
+                **({"capture_lost_bytes": fe.tuner.lost_bytes}
+                   if hasattr(fe.tuner, "lost_bytes") else {}),
                 "sample_rate": fe.cfg.sample_rate,
                 "channel_capacity": fe.cfg.num_channels,
                 "engine": ("channelized" if fe._use_channelized()
@@ -141,6 +146,11 @@ class StatusHandler(HttpRequestHandler):
                         "front_end": rx.front_end.uuid if rx.front_end else None,
                         "demodulator": rx.demodulator,
                         "if_frequency": rx.if_frequency,
+                        # bounded local-sink queue overflow (SinkWriter
+                        # drop-oldest), present only for bound receivers
+                        **({"sink_dropped": rx.audio_sink.dropped}
+                           if getattr(rx.audio_sink, "dropped", None)
+                           is not None else {}),
                     }
                     for uuid, rx in Radio.receivers.items()
                 },
