@@ -75,15 +75,30 @@ def load_config(path: str | pathlib.Path | None) -> dict:
 def _merge_state(config: dict, saved: dict) -> dict:
     """Overlay a checkpoint (RadioApp.snapshot schema) onto a topology
     config: control values merge positionally into tuner entries, and the
-    receiver list is replaced wholesale (receivers are dynamic)."""
+    receiver list is replaced wholesale (receivers are dynamic).
+
+    Deployment settings (engine, precisions) are NOT merged: they are not
+    live-mutable, so the checkpointed value can only be what the config
+    said at save time — honoring the config keeps an operator's edit
+    effective across restarts. Capacity is the one field that genuinely
+    grows live; the merge takes max(saved, config) so a grown batch
+    compiles at the served width immediately, while a config RAISE past
+    the saved width also wins."""
     config = json.loads(json.dumps(config))
     for i, st in enumerate(saved.get("tuners", [])):
         if i < len(config.get("tuners", [])):
-            for key in ("centre_frequency", "agc", "rf_gain", "offset_ppm",
-                        "engine", "capacity", "fir_precision",
-                        "pfb_precision"):
+            tc = config["tuners"][i]
+            for key in ("centre_frequency", "agc", "rf_gain", "offset_ppm"):
                 if key in st:
-                    config["tuners"][i][key] = st[key]
+                    tc[key] = st[key]
+            if "capacity" in st:
+                cfg_cap = int(tc.get("capacity", 4))
+                if int(st["capacity"]) > cfg_cap:
+                    log.info(
+                        "tuner %d: capacity %d from checkpoint overrides "
+                        "config %d (live growth persists)", i,
+                        st["capacity"], cfg_cap)
+                tc["capacity"] = max(cfg_cap, int(st["capacity"]))
     if saved.get("receivers"):
         config["receivers"] = [
             {
@@ -183,6 +198,20 @@ class RadioApp:
 
     # ---- topology ------------------------------------------------------
     def build(self) -> None:
+        # multi-host bring-up FIRST (before any jax backend use): a
+        # "distributed": true config (or the standard JAX_COORDINATOR_*
+        # env) initializes jax.distributed; single-process runs no-op
+        # (multihost.init_distributed returns False), so one entry point
+        # serves every deployment shape (SURVEY §7 step 5)
+        if self.config.get("distributed"):
+            from .parallel.multihost import init_distributed
+
+            d = self.config["distributed"]
+            kwargs = d if isinstance(d, dict) else {}
+            self.distributed = init_distributed(
+                kwargs.get("coordinator"), kwargs.get("num_processes"),
+                kwargs.get("process_id"),
+            )
         for tcfg in self.config.get("tuners", []):
             driver = TUNER_DRIVERS[tcfg.get("driver", "rand")]
             tuner = driver(tcfg.get("subdevice", ""))
@@ -208,7 +237,8 @@ class RadioApp:
                           engine=tcfg.get("engine", "auto"),
                           fir_precision=tcfg.get("fir_precision", "highest"),
                           pfb_precision=tcfg.get("pfb_precision",
-                                                 default_pfb))
+                                                 default_pfb),
+                          multihost=tcfg.get("multihost", False))
             self.front_ends.append(fe)
         for rcfg in self.config.get("receivers", []):
             rx = Receiver()
@@ -248,6 +278,9 @@ class RadioApp:
 
         kind, _, arg = spec.partition(":")
         try:
+            # SinkWriter decouples the pump from the sink's blocking
+            # write (pa_simple_write paces on the soundcard clock): the
+            # pump enqueues, the writer thread owns every native call
             if kind == "pulse":
                 if not pulse_available():
                     log.warning(
@@ -255,10 +288,16 @@ class RadioApp:
                         "available", spec,
                     )
                     return None
-                return PulseAudioSink(sample_rate=audio_rate,
-                                      device=arg or None)
+                from .radio import SinkWriter
+
+                return SinkWriter(
+                    PulseAudioSink(sample_rate=audio_rate,
+                                   device=arg or None), spec)
             if kind == "file" and arg:
-                return FileAudioSink(arg, sample_rate=audio_rate)
+                from .radio import SinkWriter
+
+                return SinkWriter(
+                    FileAudioSink(arg, sample_rate=audio_rate), spec)
         except Exception as e:
             # degrade, never abort startup: a dead PulseAudio daemon or
             # an unwritable path must not brick the radio (and the spec
@@ -307,13 +346,24 @@ class RadioApp:
         return srv
 
     # ---- lifecycle -----------------------------------------------------
+    def _is_http_process(self) -> bool:
+        """HTTP (and checkpoints) live on process 0 only; follower
+        processes run the pump's collective schedule headless."""
+        try:
+            import jax
+
+            return jax.process_index() == 0
+        except Exception:
+            return True
+
     def start(self) -> bool:
         if not self.front_ends:
             self.build()
-        if self.server is None:
-            self.build_server()
-        if not self.server.start():
-            return False
+        if self._is_http_process():
+            if self.server is None:
+                self.build_server()
+            if not self.server.start():
+                return False
         ok = all(fe.start() for fe in self.front_ends)
         if not ok:
             return False
@@ -346,7 +396,8 @@ class RadioApp:
             now = time.monotonic()
             if now - last_profile >= 5.0:
                 Radio.profile()
-                self.checkpoint_if_changed()
+                if self._is_http_process():
+                    self.checkpoint_if_changed()
                 last_profile = now
 
     def stop(self) -> None:

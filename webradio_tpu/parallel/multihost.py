@@ -70,6 +70,48 @@ def host_time_slice(block_frames: int, mesh: Mesh) -> tuple[int, int]:
     return lo * per_shard, (hi + 1) * per_shard
 
 
+#: fixed broadcast-buffer size: the collective's shape must be identical
+#: on every process, so control blobs ride a constant-size u8 array
+CONTROL_BLOB_BYTES = 65_536
+
+
+def broadcast_blob(payload: bytes | None) -> bytes:
+    """Broadcast a byte blob from process 0 to every process.
+
+    The live serving pump's control channel: process 0 (the HTTP owner)
+    publishes its control state each block; followers apply it before
+    stepping, so every process traces and executes the SAME program with
+    the SAME parameters (SPMD control writes, SURVEY §2.7). A fixed-size
+    uint8 buffer keeps the collective shape static. Single-process runs
+    return the payload unchanged (no collective)."""
+    if jax.process_count() == 1:
+        return payload or b""
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(CONTROL_BLOB_BYTES + 4, np.uint8)
+    if jax.process_index() == 0 and payload:
+        n = len(payload)
+        if n > CONTROL_BLOB_BYTES:
+            raise ValueError(f"control blob too large ({n} bytes)")
+        buf[:4] = np.frombuffer(np.uint32(n).tobytes(), np.uint8)
+        buf[4:4 + n] = np.frombuffer(payload, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    n = int(np.frombuffer(out[:4].tobytes(), np.uint32)[0])
+    return out[4:4 + n].tobytes()
+
+
+def gather_to_host(x) -> np.ndarray:
+    """Collective gather of a (possibly multi-host-sharded) array to a
+    host numpy array on EVERY process. Must be called by all processes
+    in the same order — the multihost pump's publish step does. The
+    single-process path is a plain device fetch."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def make_global_block(local_planes: np.ndarray, block_frames: int,
                       mesh: Mesh) -> jax.Array:
     """Assemble the global ``[2, block_frames]`` IQ block from this host's

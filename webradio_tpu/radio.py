@@ -12,6 +12,7 @@ boundary (the race-free analog of dspblock.cxx:57-91 live reconnection).
 
 from __future__ import annotations
 
+import collections
 import logging
 import threading
 import time
@@ -117,6 +118,74 @@ def _next_uuid(kind: str) -> str:
         n = _uuid_counters.get(kind, 0)
         _uuid_counters[kind] = n + 1
         return f"{n:04x}"
+
+
+class SinkWriter:
+    """Decouples a local audio sink (PulseAudio/file) from the pump.
+
+    ``pa_simple_write`` blocks on the soundcard clock — and indefinitely
+    on a daemon stall — so a directly-bound sink would pace the ENTIRE
+    multi-channel pump and surface as ring drops that look like device
+    overload. The pump enqueues rows into a small bounded queue
+    (non-blocking); this writer thread drains it and owns every native
+    call, including the final ``close`` — so ``pa_simple_free`` can
+    never race a write. Overflow drops OLDEST (the live edge matters;
+    same policy as BlockRing), counted for /status.
+    """
+
+    #: queue bound in audio blocks (~42.7 ms each at stock rates)
+    MAX_BLOCKS = 8
+
+    def __init__(self, sink, name: str):
+        self.sink = sink
+        self.dropped = 0
+        self.failed = False
+        self._q: collections.deque = collections.deque()
+        self._cv = threading.Condition()
+        self._closed = False
+        self._thread = threading.Thread(
+            target=self._run, daemon=True, name=f"sink-{name}"
+        )
+        self._thread.start()
+
+    def write(self, row) -> None:
+        """Pump side: enqueue, never block, drop-oldest on overflow."""
+        with self._cv:
+            if self._closed or self.failed:
+                return
+            if len(self._q) >= self.MAX_BLOCKS:
+                self._q.popleft()
+                self.dropped += 1
+            self._q.append(row)
+            self._cv.notify()
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while not self._q and not self._closed:
+                    self._cv.wait()
+                if not self._q:  # closed and drained
+                    break
+                row = self._q.popleft()
+            try:
+                self.sink.write(row)
+            except Exception:
+                log.exception("audio sink write failed; unbinding")
+                with self._cv:
+                    self.failed = True
+                    self._q.clear()
+                break
+        try:
+            self.sink.close()
+        except Exception:
+            log.debug("audio sink close failed", exc_info=True)
+
+    def close(self) -> None:
+        """Stop accepting rows; the writer drains what's queued, then
+        frees the native sink on its own thread."""
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
 
 
 class Receiver:
@@ -239,7 +308,8 @@ class FrontEnd:
     def __init__(self, tuner: Tuner, cfg: ChainConfig | None = None,
                  capacity: int = 4, engine: str = "auto",
                  fir_precision: str = "highest",
-                 pfb_precision: str = "highest"):
+                 pfb_precision: str = "highest",
+                 multihost: bool = False):
         """``engine``: "direct" (per-channel NCO+FIR, the reference
         topology), "channelized" (shared polyphase filterbank — the
         scalable path), or "auto" (channelized at capacity >=
@@ -249,10 +319,21 @@ class FrontEnd:
         ``pfb_precision``: the shared filterbank matmul's own arithmetic
         ("highest" = float32-exact, the default; "high" = bf16x3;
         "default" = one bf16 pass, the mass-monitoring throughput tier —
-        see ChannelizedConfig.pfb_precision for measured SNR/cost)."""
+        see ChannelizedConfig.pfb_precision for measured SNR/cost).
+        ``multihost``: run the SPMD serving pump (requires
+        engine="sharded"): every process executes the same collective
+        schedule in lockstep — per-block control broadcast from process
+        0, host-local time-slice ingest assembled with
+        make_global_block, collective audio/spectrum gathers — and only
+        process 0 serves HTTP. Degenerate (1-process) runs execute the
+        identical path with trivial collectives, which is what CI pins.
+        """
         self.uuid = _next_uuid("frontend")
         self.tuner = tuner
         self.engine = engine
+        self.multihost = bool(multihost)
+        if self.multihost and engine != "sharded":
+            raise ValueError("multihost serving requires engine='sharded'")
         self.fir_precision = fir_precision
         self.pfb_precision = pfb_precision
         base = cfg or ChainConfig()
@@ -464,6 +545,8 @@ class FrontEnd:
                 self.rebuild_params()  # frequency plan onto the actual rate
         if self.pipeline is None:
             self.rebuild_params()
+        if self.multihost:
+            return self._start_multihost()
         # Warm the compile and the device->host path on a zero block BEFORE
         # capture starts, so the live pipeline never eats first-call latency
         # (on tunneled backends the first transfer alone can take >1 min).
@@ -494,6 +577,181 @@ class FrontEnd:
                          name=f"warm-{self.uuid}").start()
         return True
 
+    # ---- multihost (SPMD) serving -----------------------------------
+    # Engine "sharded" + multihost=True: every process runs this same
+    # pump in lockstep (the sharded step and the gathers are collectives,
+    # so the block schedule must be identical on all processes). Process
+    # 0 owns HTTP and broadcasts its control state each block; followers
+    # mirror it into their params before stepping — control writes are
+    # thereby "applied identically on every process" (SURVEY §2.7).
+    # Capture is pull-synchronous (no free-running ring): a ring drop on
+    # one process would silently desync the collective schedule, so each
+    # process reads its block from the paced source directly and ingests
+    # only its host's time slice (multihost.host_time_slice).
+
+    def _start_multihost(self) -> bool:
+        import jax
+
+        from .parallel.multihost import (
+            gather_to_host,
+            host_time_slice,
+            make_global_block,
+        )
+
+        self._mh_slice = host_time_slice(self.cfg.block_frames,
+                                         self.pipeline.mesh)
+        self._mh_last_settings = None
+        lo, hi = self._mh_slice
+        log.info(
+            "front end %s: multihost warm (process %d/%d, time slice "
+            "[%d, %d) of %d frames)", self.uuid, jax.process_index(),
+            jax.process_count(), lo, hi, self.cfg.block_frames,
+        )
+        t0 = time.perf_counter()
+        warm = make_global_block(
+            np.zeros((2, hi - lo), np.float32), self.cfg.block_frames,
+            self.pipeline.mesh,
+        )
+        out = self.pipeline.process_host_sync(warm)
+        if out is not None:
+            gather_to_host(out[1])  # warm the collective gather path
+        self.pipeline.reset()
+        log.info("front end %s: multihost pipeline warm in %.1fs",
+                 self.uuid, time.perf_counter() - t0)
+        self.running = True
+        self.started_monotonic = time.monotonic()
+        self._blocks_at_start = self.block_count
+        return True
+
+    def _control_blob(self) -> dict:
+        """Process 0's control state, broadcast to followers each block."""
+        from .web.audiostream import AudioStreamManager
+
+        width = (self.pipeline.cfg.num_channels if self.pipeline
+                 else self.cfg.num_channels)
+        ifs, ifbw, afbw, modes, gains, squelches = self._slot_settings(width)
+        rows = [
+            i for i, rx in enumerate(self._slots[:width])
+            if rx is not None and (AudioStreamManager.has_consumers(rx.uuid)
+                                   or rx.audio_sink is not None)
+        ]
+        return {
+            "width": width,
+            "rows": rows,
+            "settings": [ifs, ifbw, afbw, modes, gains, squelches],
+            "tuner": {
+                "centre_frequency": self.tuner.centre_frequency,
+                "agc": self.tuner.agc,
+                "gain_db": self.tuner.gain_db,
+                "offset_ppm": self.tuner.offset_ppm,
+            },
+        }
+
+    def _apply_control_blob(self, ctl: dict) -> None:
+        """Follower side: mirror process 0's control plane into THIS
+        process's tuner + params (Receiver objects only live on the HTTP
+        process; here only the math matters)."""
+        width = ctl.get("width")
+        if width != self.pipeline.cfg.num_channels:
+            log.warning(
+                "front end %s: width %s from process 0 != local %d — "
+                "capacity growth is not supported under multihost serving",
+                self.uuid, width, self.pipeline.cfg.num_channels,
+            )
+            return
+        t = ctl.get("tuner", {})
+        if t.get("centre_frequency") != self.tuner.centre_frequency:
+            self.tuner.set_centre_frequency(int(t["centre_frequency"]))
+        if t.get("offset_ppm") != self.tuner.offset_ppm:
+            self.tuner.set_offset_ppm(int(t["offset_ppm"]))
+        if bool(t.get("agc", True)) != self.tuner.agc:
+            self.tuner.set_agc(bool(t["agc"]))
+        settings = ctl.get("settings")
+        if settings and settings != self._mh_last_settings:
+            params = make_channelized_params(
+                self._channelized_cfg(width), settings[0], settings[1],
+                settings[2], settings[3], settings[4], settings[5],
+                actual_sample_rate=self.actual_sample_rate,
+            )
+            self.pipeline.update_params(params)
+            self._mh_last_settings = settings
+
+    def _run_once_multihost(self) -> bool:
+        import json as _json
+
+        import jax
+
+        from .parallel.multihost import broadcast_blob, make_global_block
+
+        # 1) control broadcast: identical params on every process before
+        #    the same block index
+        payload = None
+        if jax.process_index() == 0:
+            blob = self._control_blob()
+            payload = _json.dumps(blob).encode()
+        raw = broadcast_blob(payload)
+        ctl = _json.loads(raw) if raw else {}
+        rows = ctl.get("rows", [])
+        if jax.process_index() != 0 and ctl:
+            self._apply_control_blob(ctl)
+
+        # 2) paced ingest of this host's time slice
+        block = self.tuner.read_block()
+        if block is None:
+            self.running = False
+            return False
+        lo, hi = self._mh_slice
+        planes = np.ascontiguousarray(_to_planes(block)[:, lo:hi])
+        t0 = time.perf_counter_ns()
+        iq = make_global_block(planes, self.cfg.block_frames,
+                               self.pipeline.mesh)
+        out = self.pipeline.process_host(iq)
+        self.block_count += 1
+        self.total_frames += self.cfg.block_frames
+        # 3) publish: collective gathers on ALL processes (same rows —
+        #    they came from this block's broadcast); HTTP fan-out on 0
+        if out is not None:
+            self._publish_multihost(out, rows)
+        self.last_dispatch_ns = time.perf_counter_ns() - t0
+        return True
+
+    def _publish_multihost(self, out, rows) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from .parallel.multihost import gather_to_host
+        from .web.audiostream import AudioStreamManager
+
+        audio, latest_db = out
+        spec = gather_to_host(latest_db)
+        with self._spec_lock:
+            self._spectrum_db = spec
+        if not rows:
+            return
+        width = audio.shape[0]
+        rows = [r for r in rows if r < width]
+        sel = gather_to_host(audio[jnp.asarray(rows)])  # [k, audio_frames]
+        if jax.process_index() != 0:
+            return
+        for k, r in enumerate(rows):
+            rx = self._slots[r] if r < len(self._slots) else None
+            if rx is None:
+                continue
+            row = np.asarray(sel[k])
+            if AudioStreamManager.has_consumers(rx.uuid):
+                AudioStreamManager.publish(rx.uuid, row,
+                                           self.cfg.audio_rate)
+            if rx.audio_sink is not None:
+                with rx._sink_lock:
+                    sink = rx.audio_sink
+                    if sink is not None:
+                        try:
+                            sink.write(row)
+                        except Exception:
+                            log.exception("receiver %s: sink write failed",
+                                          rx.uuid)
+                            rx.audio_sink = None
+
     def _warm_param_variants(self) -> None:
         """Compile the toep-absent param structures the control plane can
         switch to at runtime (see ReceiverParams/ChannelizedParams docs).
@@ -520,7 +778,8 @@ class FrontEnd:
                     base._replace(chan_toep=None, audio_toep=None),
                 ):
                     channelized_step_serving(
-                        pl.cfg, variant, init_channelized_state(pl.cfg), iq
+                        pl.cfg, variant, init_channelized_state(pl.cfg), iq,
+                        mode_set=pl._mode_set,
                     )
             elif isinstance(pl, FrontEndPipeline):
                 from .pipeline.frontend import frontend_step_serving
@@ -551,7 +810,10 @@ class FrontEnd:
         import jax.tree_util as jtu
 
         pl = self.pipeline
-        return (pl.cfg, jtu.tree_structure(pl.params))
+        # mode_set is part of the serving trace signature (static demod
+        # specialization): a control write introducing a new law re-warms
+        return (pl.cfg, jtu.tree_structure(pl.params),
+                getattr(pl, "_mode_set", None))
 
     def _catchup_scan_ready(self) -> bool:
         if not isinstance(self.pipeline,
@@ -594,7 +856,8 @@ class FrontEnd:
             blocks = np.zeros(
                 (CATCHUP_BLOCKS, 2, pl.cfg.block_frames), np.float32
             )
-            out = scan_serving(pl.cfg, pl.params, st, blocks)
+            out = scan_serving(pl.cfg, pl.params, st, blocks,
+                               mode_set=getattr(pl, "_mode_set", None))
             jax.device_get(out[2][:1])  # force through the device
             _fetch_audio_row(out[1], 0, 0)  # warm the [k, C, af] fetcher
             self._scan_ready_key = key
@@ -733,6 +996,13 @@ class FrontEnd:
             self._capture.join(timeout=5.0)
             self._capture = None
         self.ring.close()
+        # the profiling sampler may be blocked in a device fetch on an
+        # in-flight block; join briefly so it cannot outlive stop() holding
+        # device buffers and race backend teardown (the fetch itself is
+        # already best-effort try/except)
+        if self._sampler is not None:
+            self._sampler.join(timeout=2.0)
+            self._sampler = None
 
     # ---- the block pump ---------------------------------------------
     def run_once(self, timeout: float = 1.0) -> bool:
@@ -741,6 +1011,8 @@ class FrontEnd:
         The reference blocks in ``RtlSdrTuner::process`` until the capture
         ring has a block (rtlsdrtuner.cxx:265-285); same model here.
         """
+        if self.multihost:
+            return self._run_once_multihost()
         block = self.ring.get(timeout)
         if block is None:
             return False
@@ -865,23 +1137,31 @@ class FrontEnd:
                         rx.uuid, row, self.cfg.audio_rate
                     )
                 if rx.audio_sink is not None:
-                    # local soundcard/file binding; pa_simple_write
-                    # blocks on the hardware clock exactly like the
-                    # reference's in-graph sink (pulseaudio.cxx:143).
-                    # Under the sink lock: a concurrent DELETE must not
-                    # free the native sink mid-write.
+                    # local soundcard/file binding. app.py wraps native
+                    # sinks in a SinkWriter, so this write is a bounded
+                    # enqueue that can never pace the pump (the writer
+                    # thread owns the blocking pa_simple_write and the
+                    # final pa_simple_free). Under the sink lock: a
+                    # concurrent DELETE must not unbind mid-publish.
                     with rx._sink_lock:
                         sink = rx.audio_sink
                         if sink is None:
                             continue
                         try:
                             sink.write(row)
+                            bad = getattr(sink, "failed", False)
                         except Exception:
                             log.exception(
                                 "receiver %s: audio sink write failed; "
                                 "unbinding", rx.uuid,
                             )
+                            bad = True
+                        if bad:
                             rx.audio_sink = None
+                            try:
+                                sink.close()
+                            except Exception:
+                                pass
 
     # ---- readers (HTTP threads) ---------------------------------------
     def get_spectrum_db(self) -> np.ndarray:
