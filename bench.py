@@ -513,19 +513,23 @@ def accuracy() -> int:
     return 0
 
 
-def soak(seconds: int = 30, capacity: int = 1024) -> int:
-    """Live-server soak on the real backend (VERDICT r2 #10).
+def soak(seconds: int = 30, capacity: int = 1024, consumers: int = 8) -> int:
+    """Live-server soak on the real backend (VERDICT r2 #10 / r3 #6).
 
     Boots the full application — tone tuner at the reference's stock
     rates (2.4 Msps, 42.7 ms blocks, main.cxx:74-75), channelized engine
-    at ``capacity`` receivers — pumps live for ``seconds``, then reads
-    ``GET /status`` over HTTP and prints ONE JSON line. Pass criteria
-    mirror the reference's real-time contract (capture overrun = data
-    drop, rtlsdrtuner.cxx:99-102): zero ring drops and a sampled
-    realtime_factor > 1.
+    at ``capacity`` receivers — pumps live for ``seconds`` WITH real
+    consumers attached: ``consumers`` HTTP audio subscribers spread
+    across distinct receiver mounts (created via POST /receivers) plus a
+    5 Hz waterfall poller (the UI's cadence, ui.html:168). Then reads
+    ``GET /status`` and prints ONE JSON line. Pass criteria mirror the
+    reference's real-time contract (capture overrun = data drop,
+    rtlsdrtuner.cxx:99-102): zero ring drops, every consumer received
+    audio, and blocks kept pace.
     """
     import http.client
     import logging
+    import threading
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(name)s: %(message)s")
@@ -557,6 +561,60 @@ def soak(seconds: int = 30, capacity: int = 1024) -> int:
         conn.close()
         return next(iter(st["front_ends"].values()))
 
+    stop_consumers = threading.Event()
+    stream_bytes = []
+    waterfall_polls = [0]
+
+    def make_receivers(n):
+        uuids = [app.receivers[0].uuid]
+        for i in range(n - 1):
+            conn = http.client.HTTPConnection("127.0.0.1", app.server.port,
+                                              timeout=30)
+            conn.request(
+                "POST", "/receivers",
+                body=json.dumps({"tuner": "0", "if_frequency":
+                                 100_000 + 5_000 * (i + 1),
+                                 "demodulator": "FM"}),
+                headers={"Host": "127.0.0.1",
+                         "Content-Type": "application/json"})
+            r = conn.getresponse()
+            root = json.loads(r.read())
+            conn.close()
+            uuids.append(root["uri"].rsplit("/", 1)[1])
+        return uuids
+
+    def audio_consumer(idx, uuid):
+        conn = http.client.HTTPConnection("127.0.0.1", app.server.port,
+                                          timeout=60)
+        try:
+            conn.request("GET", f"/audio/{uuid}.mp3",
+                         headers={"Host": "127.0.0.1"})
+            resp = conn.getresponse()
+            while not stop_consumers.is_set():
+                chunk = resp.read(4096)
+                if not chunk:
+                    break
+                stream_bytes[idx] += len(chunk)
+        except Exception:
+            pass
+        finally:
+            conn.close()
+
+    def waterfall_poller():
+        while not stop_consumers.is_set():
+            try:
+                conn = http.client.HTTPConnection(
+                    "127.0.0.1", app.server.port, timeout=30)
+                conn.request("GET", "/tuners/0000/waterfall",
+                             headers={"Host": "127.0.0.1"})
+                conn.getresponse().read()
+                conn.close()
+                waterfall_polls[0] += 1
+            except Exception:
+                pass
+            stop_consumers.wait(0.2)  # the UI's 5 Hz cadence
+
+    threads = []
     try:
         if not app.start():
             print(json.dumps({"metric": "soak", "ok": False,
@@ -569,10 +627,24 @@ def soak(seconds: int = 30, capacity: int = 1024) -> int:
         # they land.
         settle = 15
         time.sleep(settle)
+        # attach the serving load: distinct mounts + waterfall polling
+        uuids = make_receivers(max(1, consumers))
+        stream_bytes.extend([0] * len(uuids))
+        for i, u in enumerate(uuids):
+            t = threading.Thread(target=audio_consumer, args=(i, u),
+                                 daemon=True)
+            t.start()
+            threads.append(t)
+        t = threading.Thread(target=waterfall_poller, daemon=True)
+        t.start()
+        threads.append(t)
+        time.sleep(5)  # absorb the POST-driven params rebuilds
         base = fetch_status()
         time.sleep(seconds)
         fe = fetch_status()
+        stop_consumers.set()
     finally:
+        stop_consumers.set()
         app.close()
     blocks = fe["blocks"] - base["blocks"]
     dropped = fe["dropped_blocks"] - base["dropped_blocks"]
@@ -583,7 +655,8 @@ def soak(seconds: int = 30, capacity: int = 1024) -> int:
     # sampled latency (ns_per_frame) is reported but not gated on — it
     # includes a full host-link round trip per sample, which on the dev
     # tunnel is ~0.3 s and says nothing about device throughput.
-    ok = dropped == 0 and blocks >= 0.97 * expected
+    fed = all(b > 0 for b in stream_bytes)
+    ok = dropped == 0 and blocks >= 0.97 * expected and fed
     print(json.dumps({
         "metric": "live_soak",
         "ok": ok,
@@ -595,9 +668,145 @@ def soak(seconds: int = 30, capacity: int = 1024) -> int:
         "blocks_expected": round(expected, 1),
         "dropped_blocks": dropped,
         "dropped_total_with_warmup": fe["dropped_blocks"],
+        "overload_events": fe.get("overload_events"),
         "throughput_factor": fe.get("throughput_factor"),
         "sampled_latency_ns_per_frame": fe["ns_per_frame"],
         "last_dispatch_ms": fe["last_dispatch_ms"],
+        "audio_consumers": len(stream_bytes),
+        "audio_stream_bytes": stream_bytes,
+        "waterfall_polls": waterfall_polls[0],
+    }))
+    return 0 if ok else 1
+
+
+def recovery(stall_ms: int = 500, capacity: int = 1024) -> int:
+    """Backlog-recovery measurement (VERDICT r3 #7), on the CPU backend.
+
+    Boots the live app (tone tuner, channelized engine), lets it reach
+    steady state, then injects a forced pump stall of ``stall_ms`` (the
+    pump thread sleeps before its next block — a GC pause / tunnel
+    hiccup stand-in) while the paced capture keeps filling the 4-deep
+    ring (the reference's ~171 ms stall tolerance,
+    rtlsdrtuner.cxx:33-34). Measures ring drops during the stall and the
+    time for the backlog to drain back to zero. With the stock 4-deep
+    ring the backlog can never exceed 4 = CATCHUP_BLOCKS, so any stall
+    drains in at most ONE warmed scan dispatch — this measurement is
+    what justifies the catch-up sizing by data.
+    """
+    import logging
+    import threading
+
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(name)s: %(message)s")
+    from webradio_tpu.app import RadioApp
+
+    config = {
+        "server": {"port": 0, "host": "127.0.0.1", "html": "html"},
+        "tuners": [
+            {
+                "driver": "tone",
+                "centre_frequency": 124_325_000,
+                "sample_rate": 2_400_000,
+                "block_frames": 102_400,
+                "capacity": capacity,
+                "engine": "channelized",
+            }
+        ],
+        "receivers": [
+            {"tuner": 0, "if_frequency": 100_000, "demodulator": "FM"}
+        ],
+    }
+    app = RadioApp(config)
+    try:
+        if not app.start():
+            print(json.dumps({"metric": "backlog_recovery", "ok": False,
+                              "error": "app failed to start"}))
+            return 1
+        fe = app.front_ends[0]
+        # wait for the warmed catch-up scan (compiled in the background)
+        deadline = time.time() + 120
+        while not fe._catchup_scan_ready() and time.time() < deadline:
+            time.sleep(0.5)
+        scan_ready = fe._catchup_scan_ready()
+        # steady state gate: the backend must actually be real-time at
+        # this capacity BEFORE the stall, else drops measure machine
+        # capacity rather than recovery
+        time.sleep(2)
+        pre_drops = fe.ring.dropped_blocks
+        time.sleep(3)
+        if fe.ring.dropped_blocks != pre_drops:
+            print(json.dumps({
+                "metric": "backlog_recovery", "ok": False,
+                "error": "backend not real-time at this capacity "
+                         "(steady-state drops) — lower capacity",
+                "capacity": capacity,
+            }))
+            return 1
+
+        # inject: one-shot stall at the next pump iteration
+        orig = fe.run_once
+        stalled = threading.Event()
+
+        def stalling_run_once(timeout=1.0):
+            fe.run_once = orig  # one shot
+            time.sleep(stall_ms / 1e3)
+            stalled.set()
+            return orig(timeout)
+
+        drops0 = fe.ring.dropped_blocks
+        blocks0 = fe.block_count
+        fe.run_once = stalling_run_once
+        assert stalled.wait(30), "stall never triggered"
+        t_end_stall = time.monotonic()
+        max_backlog = fe.ring.backlog
+        # drain: time until the ring is empty again
+        recovered = None
+        while time.monotonic() - t_end_stall < 30:
+            max_backlog = max(max_backlog, fe.ring.backlog)
+            if fe.ring.backlog == 0 and fe.block_count > blocks0:
+                recovered = time.monotonic() - t_end_stall
+                break
+            time.sleep(0.005)
+        # post-recovery steady state: blocks must flow at source rate
+        # again (throughput_factor spans capture start incl. the stall,
+        # so gate on this window instead)
+        post0 = fe.block_count
+        post_drops0 = fe.ring.dropped_blocks
+        time.sleep(3)
+        post_blocks = fe.block_count - post0
+        post_drops = fe.ring.dropped_blocks - post_drops0
+        drops = fe.ring.dropped_blocks - drops0
+        blocks = fe.block_count - blocks0
+        tput = fe.throughput_factor()
+    finally:
+        app.close()
+    block_ms = 102_400 / 2_400_000 * 1e3
+    expected_drops = max(0, int(stall_ms / block_ms) - 4)
+    ok = (recovered is not None
+          and drops <= expected_drops + 2
+          and post_drops == 0
+          and post_blocks >= 0.9 * (3_000 / block_ms))
+    print(json.dumps({
+        "metric": "backlog_recovery",
+        "ok": ok,
+        "stall_ms": stall_ms,
+        "capacity": capacity,
+        "catchup_scan_ready": scan_ready,
+        "max_backlog_seen": max_backlog,
+        "ring_drops_during_stall": drops,
+        "expected_drops_at_most": expected_drops,
+        "blocks_processed_after": blocks,
+        "recovery_ms_after_stall": (round(recovered * 1e3, 1)
+                                    if recovered is not None else None),
+        "post_recovery_blocks_3s": post_blocks,
+        "post_recovery_drops": post_drops,
+        "throughput_factor_since_start": tput,
     }))
     return 0 if ok else 1
 
@@ -610,6 +819,12 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--soak":
         sys.exit(soak(
             int(sys.argv[2]) if len(sys.argv) > 2 else 30,
+            int(sys.argv[3]) if len(sys.argv) > 3 else 1024,
+            int(sys.argv[4]) if len(sys.argv) > 4 else 8,
+        ))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--recovery":
+        sys.exit(recovery(
+            int(sys.argv[2]) if len(sys.argv) > 2 else 500,
             int(sys.argv[3]) if len(sys.argv) > 3 else 1024,
         ))
     else:

@@ -436,13 +436,23 @@ class FrontEnd:
 
     def _slot_settings(self, width: int):
         """Control values of the first ``width`` slots (empty slots run as
-        muted defaults)."""
+        muted defaults).
+
+        Empty slots take the FIRST occupied slot's demod mode (their
+        audio is never consumed, so the law is unobservable): this keeps
+        the fused kernel's static ``mode_set`` specialization minimal —
+        an all-FM monitoring deployment at partial occupancy still
+        compiles the FM-only demod section."""
+        fill_mode = next(
+            (s.demodulator for s in self._slots[:width] if s is not None),
+            "AM",
+        )
         ifs, ifbw, afbw, modes = [], [], [], []
         gains, squelches = [], []
         for slot in self._slots[:width]:
             if slot is None:
                 ifs.append(0); ifbw.append(80_000)
-                afbw.append(8_000); modes.append("AM")
+                afbw.append(8_000); modes.append(fill_mode)
                 gains.append(0); squelches.append(None)
             else:
                 ifs.append(slot.if_frequency)
