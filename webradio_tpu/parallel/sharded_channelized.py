@@ -128,7 +128,7 @@ def _shard_body(cfg: ChannelizedConfig, t_shards: int, params, state, iq_local):
 
 
 def _shard_body_tm(cfg: ChannelizedConfig, t_shards: int, c_shards: int,
-                   params, state, iq_local):
+                   mode_set, params, state, iq_local):
     """Time-major shard body: the fast single-chip tail per shard.
 
     The stage-by-stage body (:func:`_shard_body`) extracts each halo from
@@ -235,13 +235,13 @@ def _shard_body_tm(cfg: ChannelizedConfig, t_shards: int, c_shards: int,
                 ci, cq, phase_here, params.residual_step,
                 params.chan_toep, params.audio_toep, cfg.audio_decim,
                 params.mode, hist_i, hist_q, prev, audio_hist,
-                precision=prec, fast=cfg.fast_nco,
+                precision=prec, fast=cfg.fast_nco, mode_set=mode_set,
             )
         else:
             audio_tm, _, _, _, power = fused_tail_tm(
                 ci, cq, phase_here, params.residual_step,
                 params.chan_toep, params.mode, hist_i, hist_q, prev,
-                precision=prec, fast=cfg.fast_nco,
+                precision=prec, fast=cfg.fast_nco, mode_set=mode_set,
             )
     else:
         mi, mq = mix_tm(ci, cq, phase_here, params.residual_step)
@@ -325,7 +325,8 @@ def _tm_body_eligible(cfg: ChannelizedConfig, t_shards: int,
     )
 
 
-def _sharded_smapped(cfg: ChannelizedConfig, mesh: Mesh):
+def _sharded_smapped(cfg: ChannelizedConfig, mesh: Mesh,
+                     mode_set: tuple | None = None):
     """The shard_map'd step body (un-jitted) — shared by the live step
     and the offline capture scan."""
     t_shards = mesh.shape["time"]
@@ -369,8 +370,8 @@ def _sharded_smapped(cfg: ChannelizedConfig, mesh: Mesh):
         # trace-time dispatch: chan_toep presence is pytree structure, so
         # the right body is picked per compilation without retracing churn
         if _tm_body_eligible(cfg, t_shards, params):
-            return _shard_body_tm(cfg, t_shards, c_shards, params, state,
-                                  iq_local)
+            return _shard_body_tm(cfg, t_shards, c_shards, mode_set,
+                                  params, state, iq_local)
         return _shard_body(cfg, t_shards, params, state, iq_local)
     smapped = jax.shard_map(
         body,
@@ -382,14 +383,17 @@ def _sharded_smapped(cfg: ChannelizedConfig, mesh: Mesh):
     return smapped
 
 
-def sharded_channelized_step(cfg: ChannelizedConfig, mesh: Mesh):
+def sharded_channelized_step(cfg: ChannelizedConfig, mesh: Mesh,
+                             mode_set: tuple | None = None):
     """Build the jitted sharded channelized step for a mesh.
 
     ``step(params, state, iq) -> (state, audio, spectra)`` with ``iq``
     ``[2, block_frames]`` sharded over ``time``, audio ``[C, audio_frames]``
-    sharded ``(chan, time)``.
+    sharded ``(chan, time)``. ``mode_set`` statically specializes the
+    fused kernels' demod section (pipeline.channelized.mode_set_of).
     """
-    return jax.jit(_sharded_smapped(cfg, mesh), donate_argnums=(1,))
+    return jax.jit(_sharded_smapped(cfg, mesh, mode_set),
+                   donate_argnums=(1,))
 
 
 @functools.lru_cache(maxsize=8)
@@ -448,16 +452,28 @@ class ShardedChannelizedFrontEnd:
 
     def __init__(self, cfg: ChannelizedConfig, params: ChannelizedParams,
                  mesh: Mesh):
-        from ..pipeline.channelized import init_channelized_state
+        from ..pipeline.channelized import (
+            init_channelized_state,
+            mode_set_of,
+        )
 
         self.cfg = cfg
         self.mesh = mesh
         self.params = params
         self.state = init_channelized_state(cfg)
-        self._step = sharded_channelized_step(cfg, mesh)
+        self._mode_set = mode_set_of(params.mode)
+        self._step = sharded_channelized_step(cfg, mesh, self._mode_set)
 
     def update_params(self, params: ChannelizedParams) -> None:
+        from ..pipeline.channelized import mode_set_of
+
         self.params = params
+        ms = mode_set_of(params.mode)
+        if ms != self._mode_set:
+            # a new demod law appeared: rebuild the step (one retrace,
+            # the same accepted trade as param-structure changes)
+            self._mode_set = ms
+            self._step = sharded_channelized_step(self.cfg, self.mesh, ms)
 
     def process(self, iq: jax.Array):
         self.state, audio, spectra = self._step(self.params, self.state, iq)
