@@ -124,12 +124,12 @@ def worker(out_path: str) -> None:
         (59392, "highest", "default"),   # bit-exact-FIR headline (r4)
         (73728, "hx4", "default"),       # f32-parity throughput tier
         (67584, "hx5", "default"),       # f32-parity, 5-pass
-        (57344, "highest", "u8exact"),   # reference quality, u8 input
+        (53248, "highest", "u8exact"),   # reference quality, u8 input
         (40960, "highest", "highest"),   # reference quality, any input
         (81920, "high", "default"),      # bf16x3 throughput tier
         (57344, "highest", "default"),   # headline fallback
         (65536, "hx4", "default"), (65536, "hx5", "default"),
-        (49152, "highest", "u8exact"),
+        (57344, "highest", "u8exact"), (49152, "highest", "u8exact"),
         (36864, "highest", "highest"), (32768, "highest", "highest"),
         (32768, "highest", "default"), (16384, "highest", "default"),
         (4096, "highest", "default"), (1024, "highest", "default"),

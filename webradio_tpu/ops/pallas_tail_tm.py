@@ -125,8 +125,13 @@ def _make_band_dot(wt, prec):
              only error left is the data residual ``s - sh - sl``
              (~2^-17 relative), vs HIGHEST's 6 passes at ~2^-24.
       "hx4": drops wl@sh — 4 passes; adds the ~2^-17 weight tail the
-             3-term split was covering, comparable to HIGH's error at
-             one more pass (kept for the measurement ladder).
+             3-term split was covering. Measured on-device: 6.3e-7 max
+             audio deviation vs hx5's 4.7e-7 (BASELINE r4).
+
+    A hypothetical 3-pass "hx3" (also dropping wm@sl) is ALGEBRAICALLY
+    lax.Precision.HIGH — wh@sh + wm@sh + wh@sl is exactly the 2-term
+    split's kept products — and measured byte-identical errors on
+    device; use "high".
 
     The weight split runs per kernel body on a [T, span] matrix —
     noise next to the [tg, C_tile] data work.

@@ -69,12 +69,13 @@ class ChannelizedConfig:
     #: Set False for bit-level table semantics in the time-major path.
     fast_nco: bool = True
     #: MXU pass count for the time-major Toeplitz FIRs: "highest" (bf16x6,
-    #: float32-identical to the direct form), "hx5"/"hx4" (host-exact
+    #: float32-identical to the direct form), "hx5"/"hx4" (exact
     #: 3-term weight split x 2-term data split, 5/4 passes — see
     #: ops.pallas_tail_tm._make_band_dot; Pallas-kernel tiers, mapped to
-    #: "highest" on the XLA tail), or "high" (bf16x3, ~half the MXU work
-    #: at ~90 dB SNR vs the direct form — ample for the audio chain,
-    #: whose reference is float32 end-to-end anyway).
+    #: "highest" on the XLA tail; measured max audio deviation from the
+    #: bit-exact chain in BASELINE.md r4), or "high" (bf16x3, ~half the
+    #: MXU work at ~90 dB SNR vs the direct form — ample for the audio
+    #: chain, whose reference is float32 end-to-end anyway).
     fir_precision: str = "highest"
     #: mix+shaping-FIR+demod implementation for the time-major path:
     #: "xla" (unfused ops; XLA fuses), "pallas" (ops/pallas_tail_tm.py
