@@ -248,13 +248,13 @@ def test_unwatched_receivers_never_fetch_audio(monkeypatch, tmp_path):
     Radio.reset()
     AudioStreamManager.reset()
     calls = {"n": 0}
-    real = radio_mod._fetch_audio_row
+    real = radio_mod._fetch_audio_rows
 
-    def counting(audio, *idx):
+    def counting(audio, rows):
         calls["n"] += 1
-        return real(audio, *idx)
+        return real(audio, rows)
 
-    monkeypatch.setattr(radio_mod, "_fetch_audio_row", counting)
+    monkeypatch.setattr(radio_mod, "_fetch_audio_rows", counting)
     config = {
         "server": {"port": 0, "host": "127.0.0.1", "html": "html"},
         "tuners": [

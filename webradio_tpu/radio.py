@@ -38,17 +38,36 @@ CHANNELIZED_AUTO_THRESHOLD = 16
 #: (see FrontEnd._sample_step_async)
 PROFILE_SAMPLE_EVERY = 16
 
-#: sampled dispatch->completion latency (in blocks) beyond which the
-#: pump re-establishes device backpressure with one blocking fetch (see
-#: run_once). Far above the worst healthy-link round trip observed on
-#: the dev tunnel (~0.42 s ~= 10 blocks), so it only fires when the
-#: device genuinely cannot keep up
-OVERLOAD_BLOCKS = 12
+#: sampled dispatch->completion latency (in blocks) below which the
+#: overload backstop never considers firing (see run_once). The sample
+#: includes a full host-link round trip and contends with consumer
+#: fan-out / spectrum-poll transfers on that link, so high-but-STABLE
+#: latency is a slow link, not an overloaded device — the backstop
+#: additionally requires the latency to be GROWING (a dispatch queue
+#: building) across consecutive samples
+OVERLOAD_BLOCKS = 24
+
+#: consecutive growing-and-over-threshold samples required before the
+#: backstop fires. A genuinely-behind device adds (step - block) x
+#: PROFILE_SAMPLE_EVERY of latency per sample period, so it strikes
+#: every sample; link-congestion spikes fluctuate and reset the count
+#: (measured: latency-only triggering at 8-consumer load forced syncs
+#: whose stalls CAUSED the ring drops they were meant to prevent)
+OVERLOAD_STRIKES = 2
+
+#: minimum per-sample latency growth (in blocks) that counts as "the
+#: dispatch queue is building" for the overload backstop
+OVERLOAD_GROWTH_BLOCKS = 2
 
 #: ring backlog that triggers the catch-up scan (and the blocks per scanned
 #: dispatch). One fixed size keeps the extra compiled program count at 1;
 #: the warm is lazy — a healthy real-time pump never pays for any of this
 CATCHUP_BLOCKS = 4
+
+#: device audio arrays the fan-out worker may hold while its batched
+#: fetch drains; overflow drops OLDEST (counted). Small: each entry pins
+#: the block's [C, audio_frames] output in HBM until fetched.
+FANOUT_QUEUE_DEPTH = 2
 
 log = logging.getLogger(__name__)
 
@@ -72,35 +91,33 @@ def _to_planes(block: np.ndarray) -> np.ndarray:
 _row_fetchers: dict = {}
 
 
-def _fetch_audio_row(audio, *idx) -> np.ndarray:
-    """Fetch one receiver's audio row from a (device) array.
+def _fetch_audio_rows(audio, rows) -> np.ndarray:
+    """Fetch the subscribed receivers' audio rows from a (device) array:
+    ONE jitted gather + ONE device->host transfer for the whole consumer
+    set, in the fan-out worker's thread.
 
-    One jitted dynamic-slice per array RANK with the indices as traced
-    scalars — a static ``audio[i]`` would build one tiny executable per
+    One executable per array rank with the indices as a traced vector —
+    a static per-row ``audio[i]`` would build one tiny executable per
     slot index and per width, and those compiles queue behind any
-    in-flight growth compile, stalling the pump for seconds (measured:
-    ring drops during hitless growth). The fetchers are warmed alongside
-    every pipeline warm-up so the pump never compiles mid-stream.
+    in-flight growth compile, stalling delivery for seconds (measured:
+    ring drops during hitless growth under the old pump-side design).
+    The fetchers are warmed alongside every pipeline warm-up. Returns
+    ``[k, audio_frames]`` for 2-D input, ``[blocks, k, audio_frames]``
+    for a catch-up scan's 3-D input.
     """
+    idx = np.asarray(rows, np.int32)
     if isinstance(audio, np.ndarray):
-        out = audio
-        for i in idx:
-            out = out[i]
-        return out
+        return audio[..., idx, :]
     import jax
-    from jax import lax
 
     fn = _row_fetchers.get(audio.ndim)
     if fn is None:
         if audio.ndim == 2:
-            fn = jax.jit(lambda a, i: lax.dynamic_index_in_dim(
-                a, i, axis=0, keepdims=False))
+            fn = jax.jit(lambda a, i: a[i])
         else:
-            fn = jax.jit(lambda a, k, i: lax.dynamic_index_in_dim(
-                lax.dynamic_index_in_dim(a, k, axis=0, keepdims=False),
-                i, axis=0, keepdims=False))
+            fn = jax.jit(lambda a, i: a[:, i, :])
         _row_fetchers[audio.ndim] = fn
-    return np.asarray(fn(audio, *idx))
+    return np.asarray(fn(audio, idx))
 
 
 #: "argument not provided" sentinel for partial control writes
@@ -375,9 +392,17 @@ class FrontEnd:
         self.total_step_ns = 0     # sum over sampled steps only
         self.step_samples = 0
         self._sampler: threading.Thread | None = None
-        # overload backstop (see run_once): set by the sampler when a
-        # dispatch->completion latency exceeds OVERLOAD_BLOCKS blocks
+        # audio fan-out worker (see _publish): the pump enqueues device
+        # arrays + subscribed rows; the worker owns every device->host
+        # audio transfer
+        self._fanout_q: collections.deque = collections.deque()
+        self._fanout_cv = threading.Condition()
+        self._fanout_thread: threading.Thread | None = None
+        self.fanout_dropped = 0
+        # overload backstop (see run_once): set by the sampler after
+        # OVERLOAD_STRIKES consecutive samples exceed OVERLOAD_BLOCKS
         self._device_behind = False
+        self._overload_strikes = 0
         self.overload_events = 0
         self.total_frames = 0
         Radio.front_ends[self.uuid] = self
@@ -566,7 +591,7 @@ class FrontEnd:
         warm = np.zeros((2, self.cfg.block_frames), np.float32)
         out = self.pipeline.process_host_sync(warm)
         if out is not None:
-            _fetch_audio_row(out[0], 0)  # warm the per-row fetch path too
+            _fetch_audio_rows(out[0], [0])  # warm the fan-out fetch path
         self.pipeline.reset()
         log.info("front end %s: pipeline warm in %.1fs", self.uuid,
                  time.perf_counter() - t0)
@@ -574,6 +599,11 @@ class FrontEnd:
         self._capture = CaptureThread(self.tuner, self.ring)
         self._capture.start()
         self.running = True
+        self._fanout_thread = threading.Thread(
+            target=self._fanout_worker, daemon=True,
+            name=f"fanout-{self.uuid}",
+        )
+        self._fanout_thread.start()
         self.started_monotonic = time.monotonic()
         self._blocks_at_start = self.block_count
         # Background-compile the alternate parameter STRUCTURES (shared
@@ -676,6 +706,9 @@ class FrontEnd:
             self.tuner.set_offset_ppm(int(t["offset_ppm"]))
         if bool(t.get("agc", True)) != self.tuner.agc:
             self.tuner.set_agc(bool(t["agc"]))
+        if not self.tuner.agc and t.get("gain_db") is not None and (
+                float(t["gain_db"]) != self.tuner.gain_db):
+            self.tuner.set_gain_db(float(t["gain_db"]))
         settings = ctl.get("settings")
         if settings and settings != self._mh_last_settings:
             params = make_channelized_params(
@@ -869,7 +902,7 @@ class FrontEnd:
             out = scan_serving(pl.cfg, pl.params, st, blocks,
                                mode_set=getattr(pl, "_mode_set", None))
             jax.device_get(out[2][:1])  # force through the device
-            _fetch_audio_row(out[1], 0, 0)  # warm the [k, C, af] fetcher
+            _fetch_audio_rows(out[1], [0])  # warm the [k, C, af] fetcher
             self._scan_ready_key = key
             log.info("front end %s: %d-block catch-up scan warm",
                      self.uuid, CATCHUP_BLOCKS)
@@ -903,7 +936,7 @@ class FrontEnd:
                 if out is not None:
                     # warm the per-row fetch at the grown width so the
                     # pump never compiles the slice mid-stream
-                    _fetch_audio_row(out[0], 0)
+                    _fetch_audio_rows(out[0], [0])
                 pipe.reset()
                 # pre-compile the state-migration pads on dummy state of
                 # the serving width, so the pump-side swap hits the jit
@@ -1013,6 +1046,11 @@ class FrontEnd:
         if self._sampler is not None:
             self._sampler.join(timeout=2.0)
             self._sampler = None
+        if self._fanout_thread is not None:
+            with self._fanout_cv:
+                self._fanout_cv.notify_all()
+            self._fanout_thread.join(timeout=2.0)
+            self._fanout_thread = None
 
     # ---- the block pump ---------------------------------------------
     def run_once(self, timeout: float = 1.0) -> bool:
@@ -1102,12 +1140,19 @@ class FrontEnd:
             except Exception:
                 return  # teardown race: sampling is best-effort
             dt = time.perf_counter_ns() - t0_ns
+            prev = self.last_step_ns
             self.last_step_ns = dt
             self.total_step_ns += dt
             self.step_samples += 1
             block_ns = 1e9 * self.cfg.block_frames / self.cfg.sample_rate
-            if dt > OVERLOAD_BLOCKS * block_ns:
-                self._device_behind = True
+            growing = dt > prev + OVERLOAD_GROWTH_BLOCKS * block_ns
+            if dt > OVERLOAD_BLOCKS * block_ns and (growing or prev == 0):
+                self._overload_strikes += 1
+                if self._overload_strikes >= OVERLOAD_STRIKES:
+                    self._overload_strikes = 0
+                    self._device_behind = True
+            else:
+                self._overload_strikes = 0
 
         self._sampler = threading.Thread(target=run, daemon=True,
                                          name=f"profile-{self.uuid}")
@@ -1119,59 +1164,115 @@ class FrontEnd:
         may be narrower than the slot table during growth — upper slots
         simply have no samples yet.
 
-        ``audio`` is usually still an ON-DEVICE array: only the rows of
-        receivers that actually have stream consumers (or a local audio
-        sink) are fetched to the host — ~8 KB per listener per block
-        instead of the whole ``[C, af]`` batch (~8 MB at C=1024), which
-        is the reference's zero-consumer no-op (audiostream.cxx:67-68)
-        applied at the device->host boundary."""
+        ``audio`` stays an ON-DEVICE array here: the pump only records
+        which rows have consumers (stream subscribers or a local sink)
+        and hands the array to the fan-out worker — zero device->host
+        traffic on the pump thread, ever. The worker batches the whole
+        consumer set into ONE gather + ONE transfer
+        (:func:`_fetch_audio_rows`); with no consumers nothing is even
+        enqueued (the reference's zero-consumer no-op,
+        audiostream.cxx:67-68, applied at the device boundary). On a
+        high-latency host link a slow transfer therefore delays audio
+        delivery, never the real-time compute loop — overflow drops
+        OLDEST and is counted (``fanout_dropped``, /status)."""
         from .web.audiostream import AudioStreamManager
 
         audio, spectra_db_latest = out
         with self._spec_lock:
             # kept on device; get_spectrum_db fetches on HTTP demand
             self._spectrum_db = spectra_db_latest
-        n_blocks = audio.shape[0] if audio.ndim == 3 else 1
         width = audio.shape[1] if audio.ndim == 3 else audio.shape[0]
-        for i, rx in enumerate(self._slots[:width]):
+        rows = [
+            i for i, rx in enumerate(self._slots[:width])
+            if rx is not None
+            and (AudioStreamManager.has_consumers(rx.uuid)
+                 or rx.audio_sink is not None)
+        ]
+        if not rows:
+            return  # unwatched: audio never leaves the device
+        with self._fanout_cv:
+            if len(self._fanout_q) >= FANOUT_QUEUE_DEPTH:
+                self._fanout_q.popleft()
+                self.fanout_dropped += 1
+            self._fanout_q.append((audio, tuple(rows)))
+            self._fanout_cv.notify()
+
+    def _fanout_worker(self) -> None:
+        """Audio fan-out off the pump thread (see _publish).
+
+        Link pacing: on a host link whose round trip exceeds the block
+        time (the dev tunnel under congestion measures seconds), a
+        continuously-fetching worker would keep the SHARED link busy
+        with device->host traffic and starve the pump's own
+        host->device ingest transfers — drops caused by the serving
+        plane. After any fetch slower than one block the worker sleeps
+        as long as the fetch took (<= 50% link duty for fan-out, capped
+        at 2 s), trading audio delivery rate for ingest headroom; on a
+        local-host link the fetch is ~us and pacing never engages."""
+        block_s = self.cfg.block_frames / self.cfg.sample_rate
+        while True:
+            with self._fanout_cv:
+                while not self._fanout_q and self.running:
+                    self._fanout_cv.wait(0.5)
+                if not self._fanout_q:
+                    if not self.running:
+                        return
+                    continue
+                audio, rows = self._fanout_q.popleft()
+            t0 = time.monotonic()
+            try:
+                sel = _fetch_audio_rows(audio, rows)
+            except Exception:
+                log.debug("front end %s: fan-out fetch failed", self.uuid,
+                          exc_info=True)
+                continue
+            dur = time.monotonic() - t0
+            if sel.ndim == 3:  # catch-up scan: [blocks, k, af]
+                for b in range(sel.shape[0]):
+                    self._deliver_rows(rows, sel[b])
+            else:
+                self._deliver_rows(rows, sel)
+            if dur > block_s and self.running:
+                time.sleep(min(dur, 2.0))
+
+    def _deliver_rows(self, rows, sel) -> None:
+        """Push fetched audio rows to stream consumers and local sinks."""
+        from .web.audiostream import AudioStreamManager
+
+        for k, i in enumerate(rows):
+            rx = self._slots[i] if i < len(self._slots) else None
             if rx is None:
                 continue
-            wants_stream = AudioStreamManager.has_consumers(rx.uuid)
-            if not wants_stream and rx.audio_sink is None:
-                continue  # unwatched: audio never leaves the device
-            for b in range(n_blocks):
-                row = (_fetch_audio_row(audio, b, i) if audio.ndim == 3
-                       else _fetch_audio_row(audio, i))
-                if wants_stream:
-                    AudioStreamManager.publish(
-                        rx.uuid, row, self.cfg.audio_rate
-                    )
-                if rx.audio_sink is not None:
-                    # local soundcard/file binding. app.py wraps native
-                    # sinks in a SinkWriter, so this write is a bounded
-                    # enqueue that can never pace the pump (the writer
-                    # thread owns the blocking pa_simple_write and the
-                    # final pa_simple_free). Under the sink lock: a
-                    # concurrent DELETE must not unbind mid-publish.
-                    with rx._sink_lock:
-                        sink = rx.audio_sink
-                        if sink is None:
-                            continue
+            row = sel[k]
+            if AudioStreamManager.has_consumers(rx.uuid):
+                AudioStreamManager.publish(rx.uuid, row,
+                                           self.cfg.audio_rate)
+            if rx.audio_sink is not None:
+                # local soundcard/file binding. app.py wraps native
+                # sinks in a SinkWriter, so this write is a bounded
+                # enqueue (the writer thread owns the blocking
+                # pa_simple_write and the final pa_simple_free). Under
+                # the sink lock: a concurrent DELETE must not unbind
+                # mid-publish.
+                with rx._sink_lock:
+                    sink = rx.audio_sink
+                    if sink is None:
+                        continue
+                    try:
+                        sink.write(row)
+                        bad = getattr(sink, "failed", False)
+                    except Exception:
+                        log.exception(
+                            "receiver %s: audio sink write failed; "
+                            "unbinding", rx.uuid,
+                        )
+                        bad = True
+                    if bad:
+                        rx.audio_sink = None
                         try:
-                            sink.write(row)
-                            bad = getattr(sink, "failed", False)
+                            sink.close()
                         except Exception:
-                            log.exception(
-                                "receiver %s: audio sink write failed; "
-                                "unbinding", rx.uuid,
-                            )
-                            bad = True
-                        if bad:
-                            rx.audio_sink = None
-                            try:
-                                sink.close()
-                            except Exception:
-                                pass
+                            pass
 
     # ---- readers (HTTP threads) ---------------------------------------
     def get_spectrum_db(self) -> np.ndarray:

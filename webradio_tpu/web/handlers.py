@@ -123,6 +123,10 @@ class StatusHandler(HttpRequestHandler):
                 # pump actually pays each block
                 "last_dispatch_ms": round(fe.last_dispatch_ns / 1e6, 2),
                 "overload_events": fe.overload_events,
+                # fan-out worker overflow: device audio arrays dropped
+                # before their consumer rows could be fetched (slow
+                # host link; the compute loop is unaffected by design)
+                "fanout_dropped": fe.fanout_dropped,
                 # driver-level USB overrun accounting (RtlSdrTuner async
                 # capture; the reference's "Lost N bytes" health metric,
                 # rtlsdrtuner.cxx:99-102) — absent for synthetic tuners
