@@ -276,6 +276,42 @@ def make_channelized_params(
     )
 
 
+@jax.jit
+def scatter_params_slots(
+    params: ChannelizedParams, idx: jax.Array, sub: ChannelizedParams
+) -> ChannelizedParams:
+    """Apply a control write for a FEW slots without re-shipping the
+    whole parameter pytree.
+
+    At mass-monitoring scale the filterbank weights are the dominant
+    params tenant (84 MB at C=32768): a full rebuild per PUT both
+    re-derives that array host-side and re-uploads it — seconds on a
+    high-latency host link, measured as ring-drop bursts in the
+    consumer-loaded soak. Here only the dirty slots' columns travel
+    (~3 KB per slot) and a device-side scatter updates the resident
+    params. ``sub`` is a width-``len(idx)`` params pytree
+    (make_channelized_params at the sub-width); its shared Toeplitz
+    matrices are ignored — the fast path only applies while every
+    channel still shares the FIR kernels (radio.rebuild_params checks).
+    """
+    return params._replace(
+        pfb_weights=params.pfb_weights.at[:, :, idx].set(sub.pfb_weights),
+        residual_step=params.residual_step.at[idx].set(sub.residual_step),
+        chan_coeff=params.chan_coeff.at[idx].set(sub.chan_coeff),
+        audio_coeff=params.audio_coeff.at[idx].set(sub.audio_coeff),
+        mode=params.mode.at[idx].set(sub.mode),
+        af_gain=params.af_gain.at[idx].set(sub.af_gain),
+        squelch=params.squelch.at[idx].set(sub.squelch),
+        pfb_weights_split=(
+            params.pfb_weights_split.at[:, :, :, idx].set(
+                sub.pfb_weights_split)
+            if params.pfb_weights_split is not None else None
+        ),
+        chan_toep=params.chan_toep,
+        audio_toep=params.audio_toep,
+    )
+
+
 def init_channelized_state(cfg: ChannelizedConfig) -> ChannelizedState:
     c, k, kp = cfg.num_channels, cfg.fir_length, cfg.proto_taps
     return ChannelizedState(
@@ -661,6 +697,17 @@ class ChannelizedPipeline:
         # static demod-law specialization for the fused kernels; params
         # were just built host-side, so the fetch is a no-op sync
         self._mode_set = mode_set_of(params.mode)
+
+    def update_params_slots(self, idx, sub: ChannelizedParams,
+                            mode_set: tuple) -> None:
+        """Incremental control write: device-side scatter of the dirty
+        slots' columns (see scatter_params_slots); ``mode_set`` comes
+        from the caller's host-side slot table — the resident mode array
+        now lives on device, so deriving it here would cost a fetch."""
+        self.params = scatter_params_slots(
+            self.params, jnp.asarray(idx, jnp.int32), sub
+        )
+        self._mode_set = mode_set
 
     def process_host(self, iq_planes: np.ndarray):
         iq = jnp.asarray(iq_planes)

@@ -45,7 +45,7 @@ PROFILE_SAMPLE_EVERY = 16
 #: latency is a slow link, not an overloaded device — the backstop
 #: additionally requires the latency to be GROWING (a dispatch queue
 #: building) across consecutive samples
-OVERLOAD_BLOCKS = 24
+OVERLOAD_BLOCKS = 48
 
 #: consecutive growing-and-over-threshold samples required before the
 #: backstop fires. A genuinely-behind device adds (step - block) x
@@ -58,6 +58,11 @@ OVERLOAD_STRIKES = 2
 #: minimum per-sample latency growth (in blocks) that counts as "the
 #: dispatch queue is building" for the overload backstop
 OVERLOAD_GROWTH_BLOCKS = 2
+
+#: minimum seconds between forced synchronizations: the backstop is a
+#: last-resort HBM bound, not a scheduler — one stall per cooldown caps
+#: the worst-case cost of a false fire on a congested host link
+OVERLOAD_COOLDOWN_S = 60.0
 
 #: ring backlog that triggers the catch-up scan (and the blocks per scanned
 #: dispatch). One fixed size keeps the extra compiled program count at 1;
@@ -250,7 +255,8 @@ class Receiver:
             return False
         self.demodulator = mode
         if self.front_end:
-            self.front_end.rebuild_params()
+            self.front_end.rebuild_params(
+                slots=[self.front_end.slot_of(self)])
         return True
 
     def update(self, *, if_frequency=None, if_bandwidth=None,
@@ -297,7 +303,8 @@ class Receiver:
         for field, value in staged.items():
             setattr(self, field, value)
         if self.front_end:
-            self.front_end.rebuild_params()
+            self.front_end.rebuild_params(
+                slots=[self.front_end.slot_of(self)])
         return True
 
     def close(self) -> None:
@@ -403,6 +410,7 @@ class FrontEnd:
         # OVERLOAD_STRIKES consecutive samples exceed OVERLOAD_BLOCKS
         self._device_behind = False
         self._overload_strikes = 0
+        self._last_overload_sync = 0.0
         self.overload_events = 0
         self.total_frames = 0
         Radio.front_ends[self.uuid] = self
@@ -416,7 +424,7 @@ class FrontEnd:
         for i, slot in enumerate(self._slots):
             if slot is None:
                 self._slots[i] = rx
-                self.rebuild_params()
+                self.rebuild_params(slots=[i])
                 return
         # grow: double the slot table. While live, the current pipeline
         # keeps serving the old width (rebuild_params truncates to it)
@@ -442,10 +450,12 @@ class FrontEnd:
         self.rebuild_params()
 
     def _detach(self, rx: Receiver) -> None:
+        cleared = []
         for i, slot in enumerate(self._slots):
             if slot is rx:
                 self._slots[i] = None
-        self.rebuild_params()
+                cleared.append(i)
+        self.rebuild_params(slots=cleared or None)
 
     def slot_of(self, rx: Receiver) -> int:
         return self._slots.index(rx)
@@ -542,7 +552,7 @@ class FrontEnd:
         cfg = ChainConfig(**{**self.cfg.__dict__, "num_channels": width})
         return FrontEndPipeline(cfg, params)
 
-    def rebuild_params(self) -> None:
+    def rebuild_params(self, slots: list[int] | None = None) -> None:
         """Compile control-plane settings into the step's parameter pytree
         (picked up at the next block; no recompilation).
 
@@ -550,13 +560,46 @@ class FrontEnd:
         NARROWER than the slot table; parameters are built at the serving
         width (the original slots — growth appends) so control writes to
         existing receivers stay hitless. The swap catches the new slots up.
-        """
+
+        ``slots`` names the dirty slot indices when the caller knows
+        them (attach/detach/PUT of one receiver): the channelized
+        pipeline then applies an INCREMENTAL device-side scatter of just
+        those columns (pipeline.channelized.scatter_params_slots) —
+        at C=32768 a full rebuild re-derives and re-uploads 84 MB of
+        filterbank weights per control write; the fast path ships ~3 KB.
+        Falls back to the full rebuild whenever the change could alter
+        the params STRUCTURE (a bandwidth divergence drops the shared
+        Toeplitz kernels) or the pipeline is not the plain channelized
+        engine."""
         if self.pipeline is None:
             self.pipeline = self._build_pipeline(self.cfg.num_channels)
             return
-        self.pipeline.update_params(
-            self._make_params(self.pipeline.cfg.num_channels)
-        )
+        width = self.pipeline.cfg.num_channels
+        if (slots
+                and isinstance(self.pipeline, ChannelizedPipeline)
+                and all(0 <= s < width for s in slots)
+                and self.pipeline.params.chan_toep is not None):
+            ifs, ifbw, afbw, modes, gains, squelches = \
+                self._slot_settings(width)
+            if len(set(ifbw)) == 1 and len(set(afbw)) == 1:
+                # kernels still shared after the write: incremental path
+                import dataclasses as _dc
+
+                sub_cfg = _dc.replace(self._channelized_cfg(width),
+                                      num_channels=len(slots))
+                sub = make_channelized_params(
+                    sub_cfg,
+                    [ifs[s] for s in slots], [ifbw[s] for s in slots],
+                    [afbw[s] for s in slots], [modes[s] for s in slots],
+                    [gains[s] for s in slots],
+                    [squelches[s] for s in slots],
+                    actual_sample_rate=self.actual_sample_rate,
+                )
+                mode_set = tuple(sorted({MODES.index(m) for m in modes}))
+                self.pipeline.update_params_slots(list(slots), sub,
+                                                  mode_set)
+                return
+        self.pipeline.update_params(self._make_params(width))
 
     # ---- lifecycle --------------------------------------------------
     def start(self) -> bool:
@@ -803,6 +846,7 @@ class FrontEnd:
         ``run_once -> process_host`` executes (the inner non-serving step
         is inlined into the serving trace, so its cache would not help).
         """
+        import jax
         import jax.numpy as jnp
 
         try:
@@ -824,6 +868,21 @@ class FrontEnd:
                         pl.cfg, variant, init_channelized_state(pl.cfg), iq,
                         mode_set=pl._mode_set,
                     )
+                # warm the incremental control-write scatter (the k=1
+                # case every single-receiver PUT/attach uses), so the
+                # first live control write never compiles mid-stream
+                import dataclasses as _dc
+
+                from .pipeline.channelized import scatter_params_slots
+
+                sub = make_channelized_params(
+                    _dc.replace(pl.cfg, num_channels=1),
+                    0, 80_000, 8_000, "AM",
+                    actual_sample_rate=self.actual_sample_rate,
+                )
+                jax.block_until_ready(scatter_params_slots(
+                    pl.params, jnp.asarray([0], jnp.int32), sub
+                ).residual_step)
             elif isinstance(pl, FrontEndPipeline):
                 from .pipeline.frontend import frontend_step_serving
                 from .pipeline.state import init_state
@@ -1090,11 +1149,16 @@ class FrontEnd:
         if self._device_behind:
             # With no audio consumers nothing is fetched per block, so a
             # device slower than real time would otherwise accumulate an
-            # unbounded dispatch queue while /status reads healthy (the
-            # ring never drops: dispatch itself stays fast). One blocking
-            # fetch per overloaded sample bounds the queue; it costs a
-            # stall only when real time is already lost.
+            # unbounded dispatch queue while /status shows only a sagging
+            # realtime_factor. One blocking fetch bounds the queue; it
+            # costs a stall only when real time is already lost — and at
+            # most once per cooldown, so a congested-link false fire can
+            # never dominate throughput.
             self._device_behind = False
+            if (time.monotonic() - self._last_overload_sync
+                    < OVERLOAD_COOLDOWN_S):
+                return True
+            self._last_overload_sync = time.monotonic()
             self.overload_events += 1
             log.warning(
                 "front end %s: device %0.f ms behind a %.0f ms block — "
