@@ -153,15 +153,16 @@ class FakeAsyncLib(FakeLib):
             if self.die_after is not None and sent >= self.die_after:
                 self.session_done.set()
                 return -5  # device vanished mid-stream
+            if sent >= self.chunks_before_idle:
+                # emulate a stalled dongle: alive in read_async, no data
+                self.cancelled.wait(0.05)
+                continue
             raw = bytes(((self.fill + pos + i) % 256)
                         for i in range(self.chunk_len))
             pos += self.chunk_len
             buf = (ctypes.c_ubyte * self.chunk_len).from_buffer_copy(raw)
             cb(buf, self.chunk_len, None)
             sent += 1
-            if sent >= self.chunks_before_idle:
-                # emulate the USB cadence: wait for cancel
-                self.cancelled.wait(0.05)
         self.session_done.set()
         return 0
 
@@ -330,6 +331,34 @@ def test_async_device_loss_ends_stream(fake_async):
     assert t.start()
     assert t.read_block() is None
     t.stop()
+
+
+def test_async_transient_stall_keeps_streaming(fake_async):
+    """A USB stall with a LIVE reader (no samples for a block period) is
+    transient: capture emits a silent block and keeps going — the async
+    analog of the sync path's failure tolerance — instead of treating
+    the timeout as end-of-stream (which would permanently end capture
+    through CaptureThread)."""
+    fake_async.chunks_before_idle = 0  # reader alive, producing nothing
+    t = rtlsdr.RtlSdrTuner("")
+    t.set_sample_rate(1_024_000)
+    t.set_block_frames(1024)
+    assert t.start()
+    block = t.read_block()  # ~2 s timeout, then tolerance kicks in
+    assert block is not None
+    assert np.all(block == 0)
+    t.stop()
+
+
+def test_chunk_queue_timeout_keeps_partial_bytes():
+    """pop_exact returning None on timeout must not shear the stream:
+    the partial assembly goes back to the queue head byte-continuous."""
+    q = rtlsdr._ChunkQueue(max_bytes=1 << 20)
+    q.push(bytes(range(10)))
+    assert q.pop_exact(16, timeout=0.05) is None
+    q.push(bytes(range(10, 16)))
+    got = q.pop_exact(16, timeout=0.05)
+    assert got == bytes(range(16))
 
 
 def test_sync_fallback_without_async_api(fake):

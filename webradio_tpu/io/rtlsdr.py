@@ -162,7 +162,10 @@ class _ChunkQueue:
 
     def pop_exact(self, n: int, timeout: float = 2.0) -> bytes | None:
         """Assemble exactly ``n`` bytes; None once closed and drained or
-        on timeout (the capture thread treats None as end-of-stream)."""
+        on timeout. A timeout loses nothing: the partial assembly is
+        returned to the queue head, so the NEXT call resumes
+        byte-continuous (a transient USB stall must not shear the IQ
+        stream)."""
         out = bytearray()
         deadline = None
         with self._cv:
@@ -185,6 +188,9 @@ class _ChunkQueue:
                     deadline = _time.monotonic() + timeout
                 remaining = deadline - _time.monotonic()
                 if remaining <= 0:
+                    if out:  # keep the partial for the next call
+                        self._chunks.insert(0, bytes(out))
+                        self._size += len(out)
                     return None
                 self._cv.wait(remaining)
         return bytes(out)
@@ -193,6 +199,10 @@ class _ChunkQueue:
         with self._cv:
             self._closed = True
             self._cv.notify_all()
+
+    @property
+    def closed(self) -> bool:
+        return self._closed
 
 
 class _AsyncReader(threading.Thread):
@@ -239,9 +249,16 @@ class _AsyncReader(threading.Thread):
 class _RtlSdrAsyncSource(SampleSource):
     """Block assembly from the async chunk queue (the preferred path)."""
 
+    #: consecutive assembly timeouts tolerated while the USB reader is
+    #: still alive (same transient tolerance as the sync path's
+    #: MAX_CONSECUTIVE_FAILURES — a hub reset or transfer restart must
+    #: not end capture permanently)
+    MAX_CONSECUTIVE_TIMEOUTS = 10
+
     def __init__(self, tuner: "RtlSdrTuner"):
         super().__init__()
         self._tuner = tuner
+        self._timeout_count = 0
 
     def read_block(self) -> np.ndarray | None:
         chunks = self._tuner._chunks
@@ -251,12 +268,23 @@ class _RtlSdrAsyncSource(SampleSource):
                                timeout=max(2.0, 4 * self.block_frames
                                            / max(1, self.sample_rate)))
         if raw is None:
-            if not self._tuner._closing:
-                reader = self._tuner._reader
-                if reader is not None and not reader.is_alive():
-                    log.error("rtlsdr: device stream ended (rc=%s)",
-                              reader.rc)
-            return None  # end of stream (stop or device loss)
+            if self._tuner._closing or chunks.closed:
+                return None  # intentional stop / queue closed
+            reader = self._tuner._reader
+            if reader is not None and not reader.is_alive():
+                log.error("rtlsdr: device stream ended (rc=%s)", reader.rc)
+                return None  # genuine device loss
+            # transient stall with a live reader: keep streaming (the
+            # partial assembly stayed queued, so no bytes are lost)
+            self._timeout_count += 1
+            log.warning("rtlsdr: no samples for a block period (%d "
+                        "consecutive)", self._timeout_count)
+            if self._timeout_count >= self.MAX_CONSECUTIVE_TIMEOUTS:
+                log.error("rtlsdr: %d consecutive stalls; ending capture",
+                          self._timeout_count)
+                return None
+            return np.zeros(self.block_frames, np.complex64)
+        self._timeout_count = 0
         return _u8_to_complex(raw)
 
 

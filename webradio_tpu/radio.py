@@ -142,6 +142,55 @@ def _next_uuid(kind: str) -> str:
         return f"{n:04x}"
 
 
+class DropOldestQueue:
+    """Bounded producer/consumer queue, drop-OLDEST on overflow with a
+    drop counter — the live-edge policy every serving-side handoff here
+    shares (BlockRing for ingest, SinkWriter for soundcards, the audio
+    fan-out; rtlsdr's _ChunkQueue keeps its own byte-exact variant).
+    ``put`` never blocks; ``get`` blocks until an item, close, or
+    timeout. After ``close()``, queued items still drain."""
+
+    def __init__(self, depth: int):
+        self.depth = int(depth)
+        self.dropped = 0
+        self._q: collections.deque = collections.deque()
+        self._cv = threading.Condition()
+        self._closed = False
+
+    def put(self, item) -> None:
+        with self._cv:
+            if self._closed:
+                return
+            if len(self._q) >= self.depth:
+                self._q.popleft()
+                self.dropped += 1
+            self._q.append(item)
+            self._cv.notify()
+
+    def get(self, timeout: float | None = None):
+        """Next item; None when closed-and-drained or on timeout."""
+        with self._cv:
+            while not self._q:
+                if self._closed:
+                    return None
+                if not self._cv.wait(timeout):
+                    return None
+            return self._q.popleft()
+
+    def clear(self) -> None:
+        with self._cv:
+            self._q.clear()
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify_all()
+
+    @property
+    def closed(self) -> bool:
+        return self._closed
+
+
 class SinkWriter:
     """Decouples a local audio sink (PulseAudio/file) from the pump.
 
@@ -151,8 +200,7 @@ class SinkWriter:
     overload. The pump enqueues rows into a small bounded queue
     (non-blocking); this writer thread drains it and owns every native
     call, including the final ``close`` — so ``pa_simple_free`` can
-    never race a write. Overflow drops OLDEST (the live edge matters;
-    same policy as BlockRing), counted for /status.
+    never race a write.
     """
 
     #: queue bound in audio blocks (~42.7 ms each at stock rates)
@@ -160,42 +208,33 @@ class SinkWriter:
 
     def __init__(self, sink, name: str):
         self.sink = sink
-        self.dropped = 0
         self.failed = False
-        self._q: collections.deque = collections.deque()
-        self._cv = threading.Condition()
-        self._closed = False
+        self._q = DropOldestQueue(self.MAX_BLOCKS)
         self._thread = threading.Thread(
             target=self._run, daemon=True, name=f"sink-{name}"
         )
         self._thread.start()
 
+    @property
+    def dropped(self) -> int:
+        return self._q.dropped
+
     def write(self, row) -> None:
         """Pump side: enqueue, never block, drop-oldest on overflow."""
-        with self._cv:
-            if self._closed or self.failed:
-                return
-            if len(self._q) >= self.MAX_BLOCKS:
-                self._q.popleft()
-                self.dropped += 1
-            self._q.append(row)
-            self._cv.notify()
+        if not self.failed:
+            self._q.put(row)
 
     def _run(self) -> None:
         while True:
-            with self._cv:
-                while not self._q and not self._closed:
-                    self._cv.wait()
-                if not self._q:  # closed and drained
-                    break
-                row = self._q.popleft()
+            row = self._q.get()
+            if row is None:  # closed and drained
+                break
             try:
                 self.sink.write(row)
             except Exception:
                 log.exception("audio sink write failed; unbinding")
-                with self._cv:
-                    self.failed = True
-                    self._q.clear()
+                self.failed = True
+                self._q.clear()
                 break
         try:
             self.sink.close()
@@ -205,9 +244,7 @@ class SinkWriter:
     def close(self) -> None:
         """Stop accepting rows; the writer drains what's queued, then
         frees the native sink on its own thread."""
-        with self._cv:
-            self._closed = True
-            self._cv.notify()
+        self._q.close()
 
 
 class Receiver:
@@ -255,8 +292,7 @@ class Receiver:
             return False
         self.demodulator = mode
         if self.front_end:
-            self.front_end.rebuild_params(
-                slots=[self.front_end.slot_of(self)])
+            self.front_end.rebuild_params(slots=self.front_end.slots_of(self))
         return True
 
     def update(self, *, if_frequency=None, if_bandwidth=None,
@@ -303,8 +339,7 @@ class Receiver:
         for field, value in staged.items():
             setattr(self, field, value)
         if self.front_end:
-            self.front_end.rebuild_params(
-                slots=[self.front_end.slot_of(self)])
+            self.front_end.rebuild_params(slots=self.front_end.slots_of(self))
         return True
 
     def close(self) -> None:
@@ -402,15 +437,24 @@ class FrontEnd:
         # audio fan-out worker (see _publish): the pump enqueues device
         # arrays + subscribed rows; the worker owns every device->host
         # audio transfer
-        self._fanout_q: collections.deque = collections.deque()
-        self._fanout_cv = threading.Condition()
+        self._fanout = DropOldestQueue(FANOUT_QUEUE_DEPTH)
         self._fanout_thread: threading.Thread | None = None
-        self.fanout_dropped = 0
         # overload backstop (see run_once): set by the sampler after
         # OVERLOAD_STRIKES consecutive samples exceed OVERLOAD_BLOCKS
         self._device_behind = False
         self._overload_strikes = 0
         self._last_overload_sync = 0.0
+        # multihost round-boundary control application + on-demand
+        # spectrum gathers (see _run_once_multihost)
+        self._mh_ctrl_dirty = False
+        self._mh_spec_wanted = 0.0
+        # uniform (if_bw, af_bw) the resident shared FIR kernels were
+        # designed from at the last FULL params build; the incremental
+        # scatter path requires dirty slots to keep exactly these (a
+        # changed-but-still-uniform bandwidth must rebuild the kernels)
+        self._shared_bw: tuple | None = None
+        # overload: sampled-latency window for the growth test
+        self._lat_window: collections.deque = collections.deque(maxlen=4)
         self.overload_events = 0
         self.total_frames = 0
         Radio.front_ends[self.uuid] = self
@@ -459,6 +503,19 @@ class FrontEnd:
 
     def slot_of(self, rx: Receiver) -> int:
         return self._slots.index(rx)
+
+    @property
+    def fanout_dropped(self) -> int:
+        """Fan-out queue overflow (device audio arrays dropped before
+        their consumer rows could be fetched) — /status."""
+        return self._fanout.dropped
+
+    def slots_of(self, rx: Receiver) -> list[int] | None:
+        """Slot indices of ``rx``, or None when it is not (or no longer)
+        attached — a control write racing a DELETE then falls back to a
+        full rebuild instead of raising."""
+        found = [i for i, s in enumerate(self._slots) if s is rx]
+        return found or None
 
     # ---- parameters ------------------------------------------------
     def _use_channelized(self, width: int | None = None) -> bool:
@@ -573,16 +630,32 @@ class FrontEnd:
         engine."""
         if self.pipeline is None:
             self.pipeline = self._build_pipeline(self.cfg.num_channels)
+            _, ifbw, afbw, *_ = self._slot_settings(self.cfg.num_channels)
+            self._shared_bw = (
+                (ifbw[0], afbw[0])
+                if len(set(ifbw)) == 1 and len(set(afbw)) == 1 else None)
+            return
+        if self.multihost and self.running:
+            # SPMD serving: apply at the next round boundary on the pump
+            # thread, so every process flips to the new program in the
+            # SAME collective round (a mid-round structure change on
+            # process 0 alone would split the collective schedule)
+            self._mh_ctrl_dirty = True
             return
         width = self.pipeline.cfg.num_channels
         if (slots
                 and isinstance(self.pipeline, ChannelizedPipeline)
                 and all(0 <= s < width for s in slots)
-                and self.pipeline.params.chan_toep is not None):
+                and self.pipeline.params.chan_toep is not None
+                and self._shared_bw is not None):
             ifs, ifbw, afbw, modes, gains, squelches = \
                 self._slot_settings(width)
-            if len(set(ifbw)) == 1 and len(set(afbw)) == 1:
-                # kernels still shared after the write: incremental path
+            if all(ifbw[s] == self._shared_bw[0]
+                   and afbw[s] == self._shared_bw[1] for s in slots):
+                # the dirty slots keep the bandwidths the RESIDENT shared
+                # kernels were designed from (a changed-but-uniform
+                # bandwidth would silently keep stale kernels otherwise):
+                # incremental path
                 import dataclasses as _dc
 
                 sub_cfg = _dc.replace(self._channelized_cfg(width),
@@ -599,6 +672,10 @@ class FrontEnd:
                 self.pipeline.update_params_slots(list(slots), sub,
                                                   mode_set)
                 return
+        ifs, ifbw, afbw, *_ = self._slot_settings(width)
+        self._shared_bw = ((ifbw[0], afbw[0])
+                           if len(set(ifbw)) == 1 and len(set(afbw)) == 1
+                           else None)
         self.pipeline.update_params(self._make_params(width))
 
     # ---- lifecycle --------------------------------------------------
@@ -642,6 +719,7 @@ class FrontEnd:
         self._capture = CaptureThread(self.tuner, self.ring)
         self._capture.start()
         self.running = True
+        self._fanout = DropOldestQueue(FANOUT_QUEUE_DEPTH)
         self._fanout_thread = threading.Thread(
             target=self._fanout_worker, daemon=True,
             name=f"fanout-{self.uuid}",
@@ -721,6 +799,11 @@ class FrontEnd:
         return {
             "width": width,
             "rows": rows,
+            # the spectrum gather is a per-block collective on every
+            # process — only run it while someone actually polls the
+            # waterfall (zero-fetch design, CLAUDE.md)
+            "want_spectrum": (time.monotonic() - self._mh_spec_wanted
+                              < 2.0),
             "settings": [ifs, ifbw, afbw, modes, gains, squelches],
             "tuner": {
                 "centre_frequency": self.tuner.centre_frequency,
@@ -754,6 +837,13 @@ class FrontEnd:
             self.tuner.set_gain_db(float(t["gain_db"]))
         settings = ctl.get("settings")
         if settings and settings != self._mh_last_settings:
+            # full rebuild per change — at very large C this re-derives
+            # the whole weight tensor on every process (the single-host
+            # path scatters only dirty slots); shipping dirty-slot
+            # sub-params in the blob plus a sharded-scatter on the
+            # followers would close that, left for when multihost runs
+            # at mass-monitoring widths. The diff gate above means the
+            # steady state (no control change) costs nothing.
             params = make_channelized_params(
                 self._channelized_cfg(width), settings[0], settings[1],
                 settings[2], settings[3], settings[4], settings[5],
@@ -769,15 +859,25 @@ class FrontEnd:
 
         from .parallel.multihost import broadcast_blob, make_global_block
 
-        # 1) control broadcast: identical params on every process before
-        #    the same block index
+        # 1) control: HTTP writes made since the last round apply HERE,
+        #    at the round boundary on the pump thread (rebuild_params
+        #    only marks dirty under multihost), THEN the blob broadcasts
+        #    — so the program process 0 runs this round is exactly what
+        #    followers derive from the same blob; a mid-round PUT can
+        #    never split the collective schedule across processes
         payload = None
         if jax.process_index() == 0:
+            if self._mh_ctrl_dirty:
+                self._mh_ctrl_dirty = False
+                self.pipeline.update_params(
+                    self._make_params(self.pipeline.cfg.num_channels)
+                )
             blob = self._control_blob()
             payload = _json.dumps(blob).encode()
         raw = broadcast_blob(payload)
         ctl = _json.loads(raw) if raw else {}
         rows = ctl.get("rows", [])
+        want_spec = bool(ctl.get("want_spectrum", True))
         if jax.process_index() != 0 and ctl:
             self._apply_control_blob(ctl)
 
@@ -794,24 +894,25 @@ class FrontEnd:
         out = self.pipeline.process_host(iq)
         self.block_count += 1
         self.total_frames += self.cfg.block_frames
-        # 3) publish: collective gathers on ALL processes (same rows —
-        #    they came from this block's broadcast); HTTP fan-out on 0
+        # 3) publish: collective gathers on ALL processes (same rows /
+        #    want_spec — they came from this block's broadcast); HTTP
+        #    fan-out on 0
         if out is not None:
-            self._publish_multihost(out, rows)
+            self._publish_multihost(out, rows, want_spec)
         self.last_dispatch_ns = time.perf_counter_ns() - t0
         return True
 
-    def _publish_multihost(self, out, rows) -> None:
+    def _publish_multihost(self, out, rows, want_spec: bool = True) -> None:
         import jax
         import jax.numpy as jnp
 
         from .parallel.multihost import gather_to_host
-        from .web.audiostream import AudioStreamManager
 
         audio, latest_db = out
-        spec = gather_to_host(latest_db)
-        with self._spec_lock:
-            self._spectrum_db = spec
+        if want_spec:
+            spec = gather_to_host(latest_db)
+            with self._spec_lock:
+                self._spectrum_db = spec
         if not rows:
             return
         width = audio.shape[0]
@@ -819,24 +920,9 @@ class FrontEnd:
         sel = gather_to_host(audio[jnp.asarray(rows)])  # [k, audio_frames]
         if jax.process_index() != 0:
             return
-        for k, r in enumerate(rows):
-            rx = self._slots[r] if r < len(self._slots) else None
-            if rx is None:
-                continue
-            row = np.asarray(sel[k])
-            if AudioStreamManager.has_consumers(rx.uuid):
-                AudioStreamManager.publish(rx.uuid, row,
-                                           self.cfg.audio_rate)
-            if rx.audio_sink is not None:
-                with rx._sink_lock:
-                    sink = rx.audio_sink
-                    if sink is not None:
-                        try:
-                            sink.write(row)
-                        except Exception:
-                            log.exception("receiver %s: sink write failed",
-                                          rx.uuid)
-                            rx.audio_sink = None
+        # same delivery path as single-host serving (stream publish +
+        # SinkWriter handling incl. failed-sink unbind)
+        self._deliver_rows(rows, np.asarray(sel))
 
     def _warm_param_variants(self) -> None:
         """Compile the toep-absent param structures the control plane can
@@ -1106,8 +1192,7 @@ class FrontEnd:
             self._sampler.join(timeout=2.0)
             self._sampler = None
         if self._fanout_thread is not None:
-            with self._fanout_cv:
-                self._fanout_cv.notify_all()
+            self._fanout.close()  # worker drains what's queued, then exits
             self._fanout_thread.join(timeout=2.0)
             self._fanout_thread = None
 
@@ -1155,23 +1240,24 @@ class FrontEnd:
             # most once per cooldown, so a congested-link false fire can
             # never dominate throughput.
             self._device_behind = False
+            # within the cooldown only the forced sync is skipped — the
+            # block still publishes below like any other
             if (time.monotonic() - self._last_overload_sync
-                    < OVERLOAD_COOLDOWN_S):
-                return True
-            self._last_overload_sync = time.monotonic()
-            self.overload_events += 1
-            log.warning(
-                "front end %s: device %0.f ms behind a %.0f ms block — "
-                "forcing synchronization (%d events)", self.uuid,
-                self.last_step_ns / 1e6,
-                1e3 * self.cfg.block_frames / self.cfg.sample_rate,
-                self.overload_events,
-            )
-            pend = getattr(self.pipeline, "_pending", None)
-            if pend is not None:
-                import jax
+                    >= OVERLOAD_COOLDOWN_S):
+                self._last_overload_sync = time.monotonic()
+                self.overload_events += 1
+                log.warning(
+                    "front end %s: device %0.f ms behind a %.0f ms block"
+                    " — forcing synchronization (%d events)", self.uuid,
+                    self.last_step_ns / 1e6,
+                    1e3 * self.cfg.block_frames / self.cfg.sample_rate,
+                    self.overload_events,
+                )
+                pend = getattr(self.pipeline, "_pending", None)
+                if pend is not None:
+                    import jax
 
-                jax.device_get(pend[1][:1])
+                    jax.device_get(pend[1][:1])
         if (self.block_count == 1
                 or self.block_count % PROFILE_SAMPLE_EVERY == 0):
             # time THIS block from its own dispatch to device completion —
@@ -1204,13 +1290,21 @@ class FrontEnd:
             except Exception:
                 return  # teardown race: sampling is best-effort
             dt = time.perf_counter_ns() - t0_ns
-            prev = self.last_step_ns
             self.last_step_ns = dt
             self.total_step_ns += dt
             self.step_samples += 1
             block_ns = 1e9 * self.cfg.block_frames / self.cfg.sample_rate
-            growing = dt > prev + OVERLOAD_GROWTH_BLOCKS * block_ns
-            if dt > OVERLOAD_BLOCKS * block_ns and (growing or prev == 0):
+            # growth vs the WINDOW MINIMUM: a device even slightly behind
+            # accumulates latency monotonically, so over a 4-sample
+            # window the growth always crosses the threshold; a noisy
+            # stationary link hovers around its minimum
+            window = self._lat_window
+            baseline = min(window) if window else None
+            window.append(dt)
+            growing = (baseline is not None
+                       and dt > baseline + OVERLOAD_GROWTH_BLOCKS * block_ns)
+            if dt > OVERLOAD_BLOCKS * block_ns and (growing
+                                                    or baseline is None):
                 self._overload_strikes += 1
                 if self._overload_strikes >= OVERLOAD_STRIKES:
                     self._overload_strikes = 0
@@ -1254,12 +1348,7 @@ class FrontEnd:
         ]
         if not rows:
             return  # unwatched: audio never leaves the device
-        with self._fanout_cv:
-            if len(self._fanout_q) >= FANOUT_QUEUE_DEPTH:
-                self._fanout_q.popleft()
-                self.fanout_dropped += 1
-            self._fanout_q.append((audio, tuple(rows)))
-            self._fanout_cv.notify()
+        self._fanout.put((audio, tuple(rows)))
 
     def _fanout_worker(self) -> None:
         """Audio fan-out off the pump thread (see _publish).
@@ -1275,14 +1364,12 @@ class FrontEnd:
         local-host link the fetch is ~us and pacing never engages."""
         block_s = self.cfg.block_frames / self.cfg.sample_rate
         while True:
-            with self._fanout_cv:
-                while not self._fanout_q and self.running:
-                    self._fanout_cv.wait(0.5)
-                if not self._fanout_q:
-                    if not self.running:
-                        return
-                    continue
-                audio, rows = self._fanout_q.popleft()
+            item = self._fanout.get(timeout=0.5)
+            if item is None:
+                if self._fanout.closed or not self.running:
+                    return
+                continue
+            audio, rows = item
             t0 = time.monotonic()
             try:
                 sel = _fetch_audio_rows(audio, rows)
@@ -1346,6 +1433,10 @@ class FrontEnd:
         5 Hz (ui.html:168) while blocks arrive at ~23 Hz, so fetching
         here instead of per block removes the pump's device round-trips
         entirely on an unwatched server."""
+        if self.multihost:
+            # the spectrum gather is a per-block COLLECTIVE under
+            # multihost; this poll turns it on for the next ~2 s
+            self._mh_spec_wanted = time.monotonic()
         with self._spec_lock:
             spec = self._spectrum_db
         if spec is None:
