@@ -121,13 +121,14 @@ def worker(out_path: str) -> None:
     # headline configs FIRST: if the harness deadline clips the sweep,
     # the best real-time batches per tier are already on record
     sweep = [
-        (59392, "highest", "default"),   # bit-exact-FIR headline (r4)
+        (60416, "highest", "default"),   # bit-exact-FIR headline (r4)
+        (59392, "highest", "default"),   # headline fallback 1
         (73728, "hx4", "default"),       # f32-parity throughput tier
         (67584, "hx5", "default"),       # f32-parity, 5-pass
         (53248, "highest", "u8exact"),   # reference quality, u8 input
         (40960, "highest", "highest"),   # reference quality, any input
         (81920, "high", "default"),      # bf16x3 throughput tier
-        (57344, "highest", "default"),   # headline fallback
+        (57344, "highest", "default"),   # headline fallback 2
         (65536, "hx4", "default"), (65536, "hx5", "default"),
         (57344, "highest", "u8exact"), (49152, "highest", "u8exact"),
         (36864, "highest", "highest"), (32768, "highest", "highest"),
