@@ -130,6 +130,7 @@ def worker(out_path: str) -> None:
         (81920, "high", "default"),      # bf16x3 throughput tier
         (57344, "highest", "default"),   # headline fallback 2
         (65536, "hx4", "default"), (65536, "hx5", "default"),
+        (61440, "hx4", "u8exact"), (57344, "hx5", "u8exact"),
         (57344, "highest", "u8exact"), (49152, "highest", "u8exact"),
         (36864, "highest", "highest"), (32768, "highest", "highest"),
         (32768, "highest", "default"), (16384, "highest", "default"),
@@ -292,6 +293,7 @@ def main() -> None:
     best_rt = {"highest": 0, "hx5": 0, "hx4": 0, "high": 0}
     best_refq = 0  # fir=highest AND pfb=highest (float32-exact chain)
     best_refq_u8 = 0  # fir=highest, pfb=u8exact (exact for u8 input)
+    best_u8_parity = 0  # fir in {highest,hx5,hx4}, pfb=u8exact
     best_tp, best_tp_c, best_tp_fp = 0.0, 0, ""
     headline_ms = None  # measured step at the headline (bitexact) config
     try:
@@ -320,6 +322,10 @@ def main() -> None:
                             and pp == "u8exact"
                             and rec["channels"] > best_refq_u8):
                         best_refq_u8 = rec["channels"]
+                    if (rec.get("realtime") and pp == "u8exact"
+                            and fp in ("highest", "hx5", "hx4")
+                            and rec["channels"] > best_u8_parity):
+                        best_u8_parity = rec["channels"]
                     if rec["rt_channels"] > best_tp:
                         best_tp = rec["rt_channels"]
                         best_tp_c, best_tp_fp = rec["channels"], fp
@@ -384,6 +390,12 @@ def main() -> None:
                 # for 8-bit-sourced signals (all real RTL2832U data)
                 "realtime_channels_reference_quality_u8input": max(
                     best_refq_u8, best_refq),
+                # f32-parity FIR (hx5/hx4, 146 dB vs float64 end to end
+                # — measured equal to the bf16x6 chain) + the exact-u8
+                # filterbank: reference-equivalent quality for hardware
+                # signals at the fastest arithmetic
+                "realtime_channels_u8input_f32parity": max(
+                    best_u8_parity, best_refq_u8, best_refq),
                 "best_precision": best_fp,
                 "detail": report,
                 "best_batch": best_c,
