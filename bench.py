@@ -526,7 +526,8 @@ def accuracy() -> int:
     return 0
 
 
-def soak(seconds: int = 30, capacity: int = 1024, consumers: int = 8) -> int:
+def soak(seconds: int = 30, capacity: int = 1024, consumers: int = 8,
+         pfb: str = "highest") -> int:
     """Live-server soak on the real backend (VERDICT r2 #10 / r3 #6).
 
     Boots the full application — tone tuner at the reference's stock
@@ -558,6 +559,10 @@ def soak(seconds: int = 30, capacity: int = 1024, consumers: int = 8) -> int:
                 "block_frames": 102_400,
                 "capacity": capacity,
                 "engine": "channelized",
+                # big-batch soaks pick the tier whose step fits the
+                # budget at that C (BASELINE per-tier maxima); the
+                # default mirrors the app's synthetic-tuner default
+                "pfb_precision": pfb,
             }
         ],
         "receivers": [
@@ -676,6 +681,7 @@ def soak(seconds: int = 30, capacity: int = 1024, consumers: int = 8) -> int:
         "seconds": seconds,
         "settle_seconds": settle,
         "capacity": capacity,
+        "pfb_precision": pfb,
         "engine": fe["engine"],
         "blocks": blocks,
         "blocks_expected": round(expected, 1),
@@ -834,6 +840,7 @@ if __name__ == "__main__":
             int(sys.argv[2]) if len(sys.argv) > 2 else 30,
             int(sys.argv[3]) if len(sys.argv) > 3 else 1024,
             int(sys.argv[4]) if len(sys.argv) > 4 else 8,
+            sys.argv[5] if len(sys.argv) > 5 else "highest",
         ))
     elif len(sys.argv) > 1 and sys.argv[1] == "--recovery":
         sys.exit(recovery(
