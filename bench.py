@@ -527,7 +527,7 @@ def accuracy() -> int:
 
 
 def soak(seconds: int = 30, capacity: int = 1024, consumers: int = 8,
-         pfb: str = "highest") -> int:
+         pfb: str = "highest", driver: str = "tone") -> int:
     """Live-server soak on the real backend (VERDICT r2 #10 / r3 #6).
 
     Boots the full application — tone tuner at the reference's stock
@@ -549,11 +549,25 @@ def soak(seconds: int = 30, capacity: int = 1024, consumers: int = 8,
                         format="%(asctime)s %(name)s: %(message)s")
     from webradio_tpu.app import RadioApp
 
+    subdevice = ""
+    if driver == "file":
+        # capture-replay source: pre-loaded, looping, near-zero per-block
+        # host cost (the tone synthesizer is GIL-bound numpy and becomes
+        # the limit past ~50k channels under full serving load)
+        import numpy as _np
+        import tempfile as _tf
+
+        fd, subdevice = _tf.mkstemp(suffix=".cu8")
+        os.close(fd)
+        rng = _np.random.default_rng(1)
+        _np.asarray(rng.integers(0, 256, 4 * 204_800), _np.uint8
+                    ).tofile(subdevice)
     config = {
         "server": {"port": 0, "host": "127.0.0.1", "html": "html"},
         "tuners": [
             {
-                "driver": "tone",
+                "driver": driver,
+                "subdevice": subdevice,
                 "centre_frequency": 124_325_000,
                 "sample_rate": 2_400_000,
                 "block_frames": 102_400,
@@ -725,11 +739,25 @@ def recovery(stall_ms: int = 500, capacity: int = 1024) -> int:
                         format="%(asctime)s %(name)s: %(message)s")
     from webradio_tpu.app import RadioApp
 
+    subdevice = ""
+    if driver == "file":
+        # capture-replay source: pre-loaded, looping, near-zero per-block
+        # host cost (the tone synthesizer is GIL-bound numpy and becomes
+        # the limit past ~50k channels under full serving load)
+        import numpy as _np
+        import tempfile as _tf
+
+        fd, subdevice = _tf.mkstemp(suffix=".cu8")
+        os.close(fd)
+        rng = _np.random.default_rng(1)
+        _np.asarray(rng.integers(0, 256, 4 * 204_800), _np.uint8
+                    ).tofile(subdevice)
     config = {
         "server": {"port": 0, "host": "127.0.0.1", "html": "html"},
         "tuners": [
             {
-                "driver": "tone",
+                "driver": driver,
+                "subdevice": subdevice,
                 "centre_frequency": 124_325_000,
                 "sample_rate": 2_400_000,
                 "block_frames": 102_400,
@@ -841,6 +869,7 @@ if __name__ == "__main__":
             int(sys.argv[3]) if len(sys.argv) > 3 else 1024,
             int(sys.argv[4]) if len(sys.argv) > 4 else 8,
             sys.argv[5] if len(sys.argv) > 5 else "highest",
+            sys.argv[6] if len(sys.argv) > 6 else "tone",
         ))
     elif len(sys.argv) > 1 and sys.argv[1] == "--recovery":
         sys.exit(recovery(
