@@ -117,11 +117,30 @@ def main() -> None:
                 json.dumps({"if_frequency": 20_000}).encode())
     assert st in (200, 204), st
 
-    # waterfall row flows from the collective spectrum gather
+    # waterfall row flows from the collective spectrum gather (the
+    # gather is demand-gated: this first poll turns it on, the second
+    # sees real rows)
+    st, body = req("GET", f"/tuners/{fe.uuid}/waterfall")
+    assert st == 200, st
+    time.sleep(1.0)
     st, body = req("GET", f"/tuners/{fe.uuid}/waterfall")
     assert st == 200, st
     wf = json.loads(body)
     assert len(wf["data"]) > 0
+
+    # audio flows end to end through the SPMD collective gather: a WAV
+    # stream on the HTTP process delivers bytes produced by shards that
+    # live on BOTH processes
+    import http.client as _hc
+
+    conn = _hc.HTTPConnection("127.0.0.1", app.server.port, timeout=60)
+    conn.request("GET", f"/audio/{rx_uuid}.wav",
+                 headers={"Host": "127.0.0.1"})
+    resp = conn.getresponse()
+    assert resp.status == 200, resp.status
+    got = resp.read(1024)
+    conn.close()
+    assert len(got) == 1024 and got[:4] == b"RIFF"
 
     # pump survived the control write
     before = fe.block_count
