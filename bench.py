@@ -121,18 +121,19 @@ def worker(out_path: str) -> None:
     # headline configs FIRST: if the harness deadline clips the sweep,
     # the best real-time batches per tier are already on record
     sweep = [
-        (60416, "highest", "default"),   # bit-exact-FIR headline (r4)
-        (59392, "highest", "default"),   # headline fallback 1
-        (73728, "hx4", "default"),       # f32-parity throughput tier
-        (67584, "hx5", "default"),       # f32-parity, 5-pass
-        (53248, "highest", "u8exact"),   # reference quality, u8 input
-        (40960, "highest", "highest"),   # reference quality, any input
-        (81920, "high", "default"),      # bf16x3 throughput tier
-        (57344, "highest", "default"),   # headline fallback 2
-        (65536, "hx4", "default"), (65536, "hx5", "default"),
-        (61440, "hx4", "u8exact"), (57344, "hx5", "u8exact"),
-        (57344, "highest", "u8exact"), (49152, "highest", "u8exact"),
-        (36864, "highest", "highest"), (32768, "highest", "highest"),
+        (73728, "highest", "default"),   # bit-exact-FIR headline (r4,
+                                         # sub-tiled shaping FIR)
+        (69632, "highest", "default"),   # headline fallback 1
+        (86016, "hx4", "default"),       # f32-parity throughput tier
+        (79872, "hx5", "default"),       # f32-parity, 5-pass
+        (65536, "highest", "u8exact"),   # reference quality, u8 input
+        (44032, "highest", "highest"),   # reference quality, any input
+        (90112, "high", "default"),      # bf16x3 throughput tier
+        (65536, "highest", "default"),   # headline fallback 2
+        (83968, "hx4", "default"), (73728, "hx5", "default"),
+        (69632, "hx4", "u8exact"), (67584, "hx5", "u8exact"),
+        (61440, "highest", "u8exact"), (53248, "highest", "u8exact"),
+        (40960, "highest", "highest"), (36864, "highest", "highest"),
         (32768, "highest", "default"), (16384, "highest", "default"),
         (4096, "highest", "default"), (1024, "highest", "default"),
     ]

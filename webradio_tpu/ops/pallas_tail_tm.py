@@ -62,6 +62,41 @@ CHAN_TILE = 128  # lanes
 TIME_TILE = 1024  # sublanes per program (multiple of the FIR tile T)
 
 
+#: in-kernel shaping-FIR sub-tile: re-derive the banded weights at T=64
+#: (span 63+64=127 -> ONE 128-row MXU K-tile per output row) from the
+#: shared reversed kernel, instead of inheriting the XLA layer's T=128
+#: tile (span 191 -> TWO K-tiles, half of them padded band zeros).
+#: Bit-NEAR, not bit-identical: output rows whose 64-tap band straddles
+#: the T=128 layout's two K-tiles accumulate their sum as two partials
+#: there and one here (measured 4.8e-7 max audio delta — well inside
+#: the framework's 3e-6 equality bound).
+FIR_SUB_TILE = 64
+
+
+def _fir_sub_default() -> bool:
+    """Whether the kernels re-tile the shaping FIR to FIR_SUB_TILE
+    (A/B override: WEBRADIO_TM_FIR_SUB=0/1). Resolved at trace time."""
+    import os
+
+    return os.environ.get("WEBRADIO_TM_FIR_SUB", "1") == "1"
+
+
+def _maybe_subtile_shaping(w_toep, tg: int | None = None):
+    """Return the kernel-facing shaping weights: the FIR_SUB_TILE-tiled
+    band when eligible (shared kernel fits one K-tile and the sub-tile
+    divides the time tile), else ``w_toep`` unchanged."""
+    span, t = w_toep.shape
+    k = span - t + 1
+    sub = FIR_SUB_TILE
+    if (not _fir_sub_default() or t == sub or k > sub + 1
+            or (tg is not None and tg % sub != 0)):
+        return w_toep
+    rev = w_toep[:k, 0]  # column 0 holds the reversed shared kernel
+    return jnp.stack(
+        [jnp.pad(rev, (m, sub - 1 - m)) for m in range(sub)], axis=1
+    )  # [sub + k - 1, sub]
+
+
 def _interleave_default() -> bool:
     """Default FIR/demod body form for the audio kernels (A/B override:
     WEBRADIO_TM_INTERLEAVE=0/1). Resolved at trace time.
@@ -376,6 +411,7 @@ def fused_tail_tm(
     """
     if not interpret and jax.default_backend() != "tpu":
         interpret = True
+    w_toep = _maybe_subtile_shaping(w_toep, TIME_TILE)
     nd, c = ci_planes.shape
     if packed:
         c //= 2
@@ -735,6 +771,7 @@ def fused_tail_audio_tm(
         interpret = True
     if interleave is None:
         interleave = _interleave_default()
+    w_toep = _maybe_subtile_shaping(w_toep)
     nd, c = ci_planes.shape
     if packed:
         c //= 2
@@ -914,6 +951,7 @@ def fused_pfb_tail_audio_tm(
         pfb_precision = lax.Precision.HIGHEST
     if interleave is None:
         interleave = _interleave_default()
+    w_toep = _maybe_subtile_shaping(w_toep)
     nd, kp2 = frames.shape
     c = pfb_weights.shape[-1] // 2
     d = int(decimation)
