@@ -103,6 +103,11 @@ def worker(out_path: str) -> None:
     def ifs(c):
         return [int((i - c // 2) * 2_000) for i in range(c)]
 
+    try:
+        emit(kind="parity", **parity_check())
+    except Exception as e:
+        emit(kind="parity", ok=False, error=str(e)[:200])
+
     # Quality tiers (measured on-device; `bench.py --accuracy` for the
     # end-to-end SNR vs float64, BASELINE.md r4 for the hx tiers):
     #   fir=highest : bf16x6 FIRs, float32-identical to the direct
@@ -181,6 +186,77 @@ def worker(out_path: str) -> None:
         if dt > 4 * cfg.block_seconds:
             break
     emit(kind="done")
+
+
+def parity_check() -> dict:
+    """On-device split-weight-law parity regression (VERDICT r4 #4).
+
+    The hx5/hx4 host-exact-weight FIR tiers and the u8exact filterbank
+    law are measurable ONLY on real hardware: XLA-CPU silently elides
+    in-jit bf16 hi/lo splits (BASELINE r3 #6), so interpret-mode tests
+    pass vacuously. This re-measures them against the bit-exact (bf16x6)
+    chain every bench run — C=128, one stock-rate block, forced Pallas
+    tail (the kernel every headline batch uses) — and the bench parent
+    FAILS the process on a bound violation. USB isolates FIR arithmetic
+    (linear law); FM adds the discriminator (where a large error flips
+    atan2 wraps). Bounds: measured r4 maxima (<= 6.3e-7) x ~4 headroom,
+    still inside the framework's own 3e-6 sharded-equality bound.
+    Standalone: ``python bench.py --parity``.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from webradio_tpu.pipeline.channelized import (
+        ChannelizedConfig,
+        channelized_step,
+        init_channelized_state,
+        make_channelized_params,
+        mode_set_of,
+    )
+
+    c = 128
+    pifs = [int((i - c // 2) * 2_000) + 777 for i in range(c)]
+    prng = np.random.default_rng(7)
+    x = jnp.asarray(prng.standard_normal((2, 102_400)).astype(np.float32))
+    # real hardware signals live on the u8 ADC grid (x-128)/128
+    xu8 = jnp.asarray((np.round(prng.standard_normal((2, 102_400)) * 64)
+                       .clip(-128, 127) / 128.0).astype(np.float32))
+
+    def audio_of(fir_p, pfb_p, mode, sig):
+        cfg = ChannelizedConfig(num_channels=c, fir_precision=fir_p,
+                                pfb_precision=pfb_p,
+                                tail_kernel="pallas")
+        params = make_channelized_params(cfg, pifs, 80_000, 8_000, mode)
+        _, audio, _ = channelized_step(
+            cfg, params, init_channelized_state(cfg), sig,
+            mode_set=mode_set_of(params.mode))
+        return np.asarray(jax.device_get(audio), np.float64)
+
+    res = {"backend": jax.default_backend()}
+    checks = []  # (name, measured, bound)
+    for mode, bound in (("USB", 2e-6), ("FM", 3e-6)):
+        base = audio_of("highest", "highest", mode, x)
+        for tier in ("hx5", "hx4"):
+            d = float(np.max(np.abs(audio_of(tier, "highest", mode, x)
+                                    - base)))
+            checks.append((f"hx_{tier}_{mode}", d, bound))
+    base_u8 = audio_of("highest", "highest", "USB", xu8)
+    d = float(np.max(np.abs(audio_of("highest", "u8exact", "USB", xu8)
+                            - base_u8)))
+    checks.append(("u8exact_USB", d, 3e-6))
+    base_u8fm = audio_of("highest", "highest", "FM", xu8)
+    d = float(np.max(np.abs(audio_of("highest", "u8exact", "FM", xu8)
+                            - base_u8fm)))
+    checks.append(("u8exact_FM", d, 3e-6))
+    ok = True
+    for name, d, bound in checks:
+        res[name] = float(f"{d:.2e}")
+        if d > bound:
+            res[name + "_VIOLATION"] = f"bound {bound:g}"
+            ok = False
+    res["ok"] = ok
+    return res
 
 
 # ---------------------------------------------------------------------------
@@ -291,6 +367,7 @@ def main() -> None:
     # throughput-normalized best (with a note) only if nothing measured
     # real-time.
     report = {}
+    parity = {}
     best_rt = {"highest": 0, "hx5": 0, "hx4": 0, "high": 0}
     best_refq = 0  # fir=highest AND pfb=highest (float32-exact chain)
     best_refq_u8 = 0  # fir=highest, pfb=u8exact (exact for u8 input)
@@ -330,6 +407,8 @@ def main() -> None:
                     if rec["rt_channels"] > best_tp:
                         best_tp = rec["rt_channels"]
                         best_tp_c, best_tp_fp = rec["channels"], fp
+            elif rec.get("kind") == "parity":
+                parity = {k: v for k, v in rec.items() if k != "kind"}
             elif rec.get("kind") == "error":
                 report[rec["key"] + "_error"] = rec["error"]
     except OSError:
@@ -356,6 +435,7 @@ def main() -> None:
     # roofline position of the headline config (VERDICT r3 #8): how far
     # the measured step sits from the modeled compute/bandwidth bound
     roofline = {}
+    roofline_detail = {}
     if headline_ms is not None:
         hc, hpp, hms = headline_ms
         model = roofline_model_ms(hc, "highest", hpp)
@@ -363,11 +443,35 @@ def main() -> None:
             "roofline_ms": model["ideal_ms"],
             "roofline_serial_ms": model["serial_ms"],
             "roofline_frac": round(model["ideal_ms"] / hms, 3),
-            "roofline_detail": {**model, "measured_ms": round(hms, 2),
-                                "config": f"c{hc}_highest_pfb{hpp}"},
+        }
+        roofline_detail = {**model, "measured_ms": round(hms, 2),
+                           "config": f"c{hc}_highest_pfb{hpp}"}
+
+    # compact parity summary for the headline line: worst measured
+    # deviation per law family (full numbers on the detail line)
+    parity_summary = {}
+    if parity:
+        hx = [v for k, v in parity.items()
+              if k.startswith("hx_") and isinstance(v, float)]
+        u8 = [v for k, v in parity.items()
+              if k.startswith("u8exact") and isinstance(v, float)]
+        parity_summary = {
+            "parity_ok": bool(parity.get("ok", False)),
+            "parity_hx_max_dev": max(hx) if hx else None,
+            "parity_u8exact_max_dev": max(u8) if u8 else None,
         }
 
     value = round(value, 1)
+    # The driver captures only the tail of stdout and parses the FINAL
+    # line — keep it compact (BENCH_r04 went unparsed when `detail`
+    # outgrew the capture). Full per-config numbers go on their own
+    # preceding line.
+    print(json.dumps({
+        "metric": "realtime_nbfm_channels_per_chip_detail",
+        "detail": report,
+        "roofline_detail": roofline_detail,
+        "parity": parity,
+    }))
     print(
         json.dumps(
             {
@@ -398,11 +502,16 @@ def main() -> None:
                 "realtime_channels_u8input_f32parity": max(
                     best_u8_parity, best_refq_u8, best_refq),
                 "best_precision": best_fp,
-                "detail": report,
                 "best_batch": best_c,
+                **parity_summary,
             }
         )
     )
+    # VERDICT r4 #4: a measured bound violation in the split-weight laws
+    # fails the bench (an exception in the check is reported, not gated —
+    # it means the check could not run, usually a tunnel flake)
+    if parity and not parity.get("ok", True) and "error" not in parity:
+        sys.exit(1)
 
 
 def accuracy() -> int:
@@ -740,25 +849,11 @@ def recovery(stall_ms: int = 500, capacity: int = 1024) -> int:
                         format="%(asctime)s %(name)s: %(message)s")
     from webradio_tpu.app import RadioApp
 
-    subdevice = ""
-    if driver == "file":
-        # capture-replay source: pre-loaded, looping, near-zero per-block
-        # host cost (the tone synthesizer is GIL-bound numpy and becomes
-        # the limit past ~50k channels under full serving load)
-        import numpy as _np
-        import tempfile as _tf
-
-        fd, subdevice = _tf.mkstemp(suffix=".cu8")
-        os.close(fd)
-        rng = _np.random.default_rng(1)
-        _np.asarray(rng.integers(0, 256, 4 * 204_800), _np.uint8
-                    ).tofile(subdevice)
     config = {
         "server": {"port": 0, "host": "127.0.0.1", "html": "html"},
         "tuners": [
             {
-                "driver": driver,
-                "subdevice": subdevice,
+                "driver": "tone",
                 "centre_frequency": 124_325_000,
                 "sample_rate": 2_400_000,
                 "block_frames": 102_400,
@@ -864,6 +959,10 @@ if __name__ == "__main__":
         worker(sys.argv[2])
     elif len(sys.argv) > 1 and sys.argv[1] == "--accuracy":
         sys.exit(accuracy())
+    elif len(sys.argv) > 1 and sys.argv[1] == "--parity":
+        res = parity_check()
+        print(json.dumps({"metric": "split_weight_law_parity", **res}))
+        sys.exit(0 if res["ok"] else 1)
     elif len(sys.argv) > 1 and sys.argv[1] == "--soak":
         sys.exit(soak(
             int(sys.argv[2]) if len(sys.argv) > 2 else 30,

@@ -19,6 +19,7 @@
 
 #include <atomic>
 #include <chrono>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstring>
@@ -271,5 +272,129 @@ void wr_rtltcp_dongle_info(void* session, uint32_t* tuner_type,
 }
 
 void wr_rtltcp_close(void* session) { delete static_cast<WrRtlTcp*>(session); }
+
+// ---------------------------------------------------------------------------
+// synthetic multi-carrier source (off-GIL tone synthesizer)
+// ---------------------------------------------------------------------------
+//
+// The Python ToneSource's numpy loop holds the GIL and itself falls below
+// real time at mass-monitoring widths under full serving load (BASELINE
+// r4 #6: 1119/1406 source blocks at C=60k). This synthesizes the same
+// carrier ensemble (io/source.py ToneSource laws: AM 1+0.5 sin envelope,
+// NBFM with 5 kHz deviation via the closed-form phase integral) on a C++
+// thread paced to the nominal rate, pushing [2, N] float32 plane blocks
+// into a drop-oldest ring — the same producer contract as real hardware
+// DMA (rtlsdrtuner.cxx:86-117).
+
+struct WrTone {
+  double fs = 0;
+  int64_t frames = 0;
+  double noise = 0;
+  struct Carrier {
+    double offset;
+    int kind;  // 0 = AM, 1 = FM, else CW
+    double audio;
+  };
+  std::vector<Carrier> carriers;
+  WrRing* ring = nullptr;
+  std::thread synth;
+  std::atomic<bool> stop{false};
+  uint64_t s0 = 0, s1 = 0;  // xorshift128+ noise state
+
+  ~WrTone() {
+    stop.store(true);
+    if (synth.joinable()) synth.join();
+    delete ring;
+  }
+
+  inline double uni() {  // xorshift128+ -> uniform [-1, 1)
+    uint64_t x = s0, y = s1;
+    s0 = y;
+    x ^= x << 23;
+    s1 = x ^ y ^ (x >> 17) ^ (y >> 26);
+    uint64_t r = s1 + y;
+    return ((double)(r >> 11) / (double)(1ull << 53)) * 2.0 - 1.0;
+  }
+};
+
+void* wr_tone_open(double sample_rate, int64_t frames_per_block,
+                   int ring_depth, int n_carriers, const double* offsets,
+                   const int32_t* kinds, const double* audio_hz,
+                   double noise, uint64_t seed) {
+  auto* s = new WrTone;
+  s->fs = sample_rate;
+  s->frames = frames_per_block;
+  s->noise = noise;
+  for (int k = 0; k < n_carriers; ++k)
+    s->carriers.push_back({offsets[k], (int)kinds[k], audio_hz[k]});
+  s->s0 = seed * 0x9E3779B97F4A7C15ull + 0xBF58476D1CE4E5B9ull;
+  s->s1 = (seed ^ 0x94D049BB133111EBull) | 1ull;
+  s->ring = new WrRing(2 * frames_per_block, ring_depth);
+  s->synth = std::thread([s] {
+    std::vector<float> planes((size_t)2 * s->frames);
+    const double two_pi = 6.283185307179586476925286766559;
+    const float scale =
+        1.0f / (float)std::max<size_t>(1, s->carriers.size());
+    int64_t n0 = 0;
+    int64_t blocks = 0;
+    auto t_start = std::chrono::steady_clock::now();
+    while (!s->stop.load(std::memory_order_relaxed)) {
+      float* re = planes.data();
+      float* im = planes.data() + s->frames;
+      std::memset(re, 0, sizeof(float) * (size_t)s->frames);
+      std::memset(im, 0, sizeof(float) * (size_t)s->frames);
+      for (auto& c : s->carriers) {
+        for (int64_t n = 0; n < s->frames; ++n) {
+          double t = (double)(n0 + n) / s->fs;
+          double theta, env = 1.0;
+          if (c.kind == 1) {
+            // NBFM: phi = 2*pi*f0*t - (D/fa) cos(2*pi*fa*t), D = 5 kHz
+            theta = std::fmod(
+                two_pi * c.offset * t -
+                    5000.0 / c.audio * std::cos(two_pi * c.audio * t),
+                two_pi);
+          } else {
+            theta = std::fmod(two_pi * c.offset * t, two_pi);
+            if (c.kind == 0) env = 1.0 + 0.5 * std::sin(two_pi * c.audio * t);
+          }
+          re[n] += (float)(env * std::cos(theta));
+          im[n] += (float)(env * std::sin(theta));
+        }
+      }
+      if (s->noise > 0) {
+        // uniform with the gaussian's variance (sqrt(3) scale) — a test
+        // source's noise floor, not a calibrated channel model
+        const float a = (float)(s->noise * 1.7320508075688772);
+        for (int64_t n = 0; n < s->frames; ++n) {
+          re[n] += a * (float)s->uni();
+          im[n] += a * (float)s->uni();
+        }
+      }
+      for (int64_t n = 0; n < 2 * s->frames; ++n) planes[(size_t)n] *= scale;
+      n0 += s->frames;
+      ++blocks;
+      // pace to real time on the synth thread (the DMA-cadence analog);
+      // sleep_until keeps long-run cadence exact regardless of synth cost
+      auto deadline =
+          t_start + std::chrono::nanoseconds((int64_t)(
+                        1e9 * (double)blocks * (double)s->frames / s->fs));
+      std::this_thread::sleep_until(deadline);
+      if (s->stop.load(std::memory_order_relaxed)) break;
+      wr_ring_push(s->ring, planes.data());
+    }
+    wr_ring_close(s->ring);
+  });
+  return s;
+}
+
+int wr_tone_pop(void* session, float* out, int64_t timeout_ms) {
+  return wr_ring_pop(static_cast<WrTone*>(session)->ring, out, timeout_ms);
+}
+
+int64_t wr_tone_dropped(void* session) {
+  return static_cast<WrTone*>(session)->ring->dropped.load();
+}
+
+void wr_tone_close(void* session) { delete static_cast<WrTone*>(session); }
 
 }  // extern "C"

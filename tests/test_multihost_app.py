@@ -115,6 +115,80 @@ def test_multihost_degenerate_single_process():
         app.close()
 
 
+def test_multihost_post_past_capacity_409():
+    """POST /receivers past capacity under multihost serving: a clean
+    409 Conflict with an explanatory JSON body, and the SPMD pump keeps
+    running (VERDICT r4 #5: growth's background warm would execute
+    collectives off the lockstep schedule, so it is formally rejected
+    rather than left to deadlock the slice)."""
+    from webradio_tpu.app import RadioApp
+
+    config = {
+        "server": {"port": 0, "host": "127.0.0.1", "html": "html"},
+        "tuners": [
+            {
+                "driver": "tone",
+                "centre_frequency": 100_000_000,
+                "sample_rate": 1_024_000,
+                "channel_rate": 128_000,
+                "audio_rate": 32_000,
+                "block_frames": 10_240,
+                "capacity": 4,
+                "engine": "sharded",
+                "multihost": True,
+            }
+        ],
+        "receivers": [
+            {"tuner": 0, "if_frequency": 10_000, "demodulator": "FM"}
+        ],
+    }
+    app = RadioApp(config)
+    try:
+        assert app.start()
+        fe = app.front_ends[0]
+        port = app.server.port
+        deadline = time.time() + 90
+        while fe.block_count < 2 and time.time() < deadline:
+            time.sleep(0.1)
+        assert fe.block_count >= 2
+
+        # fill the remaining 3 slots: plain 201s
+        for i in range(3):
+            st, body = _req(
+                port, "POST", "/receivers",
+                json.dumps({"tuner": f"/tuners/{fe.uuid}",
+                            "if_frequency": 15_000 + 5_000 * i,
+                            "demodulator": "FM"}).encode())
+            assert st == 201, (st, body)
+        assert len(fe.receivers) == 4
+
+        # one past capacity: 409 with a machine-readable body
+        from webradio_tpu.radio import Radio
+
+        known = set(Radio.receivers)
+        st, body = _req(
+            port, "POST", "/receivers",
+            json.dumps({"tuner": f"/tuners/{fe.uuid}",
+                        "if_frequency": 40_000,
+                        "demodulator": "FM"}).encode())
+        assert st == 409, (st, body)
+        err = json.loads(body)
+        assert err["capacity"] == 4 and err["attached"] == 4
+        assert "multihost" in err["error"]
+        # the rejected receiver did not leak into the registry
+        assert len(fe.receivers) == 4
+        assert set(Radio.receivers) == known
+        # slot table / compiled width unchanged; the pump keeps running
+        assert fe.cfg.num_channels == 4
+        before = fe.block_count
+        deadline = time.time() + 60
+        while fe.block_count < before + 3 and time.time() < deadline:
+            time.sleep(0.1)
+        assert fe.block_count >= before + 3, "pump stalled after the 409"
+    finally:
+        app.close()
+
+
 # ---------------------------------------------------------------------------
 # 2) two real processes driving the live app
 # ---------------------------------------------------------------------------

@@ -56,6 +56,21 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         lib.wr_rtltcp_dongle_info.argtypes = [c_void, u32p, u32p]
     except AttributeError:  # stale .so predating the symbol
         pass
+    try:
+        f64p = ctypes.POINTER(ctypes.c_double)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.wr_tone_open.restype = c_void
+        lib.wr_tone_open.argtypes = [
+            ctypes.c_double, c_i64, c_int, c_int, f64p, i32p, f64p,
+            ctypes.c_double, ctypes.c_uint64,
+        ]
+        lib.wr_tone_pop.restype = c_int
+        lib.wr_tone_pop.argtypes = [c_void, f32p, c_i64]
+        lib.wr_tone_dropped.restype = c_i64
+        lib.wr_tone_dropped.argtypes = [c_void]
+        lib.wr_tone_close.argtypes = [c_void]
+    except AttributeError:  # stale .so predating the synthesizer
+        pass
     return lib
 
 
@@ -214,6 +229,57 @@ class NativeRtlTcp:
     def close(self) -> None:
         if self._h:
             self._lib.wr_rtltcp_close(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class NativeTone:
+    """Off-GIL synthetic-carrier session (native/src/ingest.cpp
+    wr_tone_*): a paced C++ thread synthesizes the ToneSource carrier
+    ensemble and fills a drop-oldest ring of [2, N] plane blocks."""
+
+    KINDS = {"AM": 0, "FM": 1}
+
+    def __init__(self, sample_rate: float, frames: int, carriers,
+                 noise: float = 0.01, seed: int = 0, depth: int = 4):
+        lib = load()
+        if lib is None or not hasattr(lib, "wr_tone_open"):
+            raise RuntimeError("native tone synthesizer unavailable")
+        self._lib = lib
+        self.frames = int(frames)
+        offs = np.ascontiguousarray([c[0] for c in carriers], np.float64)
+        kinds = np.ascontiguousarray(
+            [self.KINDS.get(c[1], 2) for c in carriers], np.int32)
+        audio = np.ascontiguousarray([c[2] for c in carriers], np.float64)
+        self._h = lib.wr_tone_open(
+            float(sample_rate), self.frames, int(depth), len(carriers),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            kinds.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            audio.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            float(noise), int(seed) & 0xFFFFFFFFFFFFFFFF,
+        )
+        if not self._h:
+            raise RuntimeError("wr_tone_open failed")
+
+    def pop(self, timeout: float | None = None) -> np.ndarray | None:
+        out = np.empty((2, self.frames), np.float32)
+        ms = -1 if timeout is None else int(timeout * 1000)
+        if self._lib.wr_tone_pop(self._h, _f32p(out), ms):
+            return out
+        return None
+
+    @property
+    def dropped_blocks(self) -> int:
+        return self._lib.wr_tone_dropped(self._h)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.wr_tone_close(self._h)
             self._h = None
 
     def __del__(self):

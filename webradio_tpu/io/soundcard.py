@@ -22,6 +22,8 @@ import struct
 
 import numpy as np
 
+from .source import SampleSource
+
 _PA_STREAM_PLAYBACK = 1
 _PA_STREAM_RECORD = 2
 _PA_SAMPLE_FLOAT32LE = 5  # pulseaudio.cxx:39 FLOAT32LE
@@ -122,6 +124,69 @@ class PulseAudioSource(_PulseSimple):
             ctypes.byref(err),
         )
         return out if rc == 0 else None
+
+
+class SoundcardIQSource(SampleSource):
+    """Stereo line-in I/Q capture: the reference's ``PulseAudioSource``
+    (pulseaudio.cxx:83-92) made a usable front-end seam.
+
+    A direct-conversion front end (soft-rock style receiver) delivers
+    I/Q on the left/right channels of a soundcard; this source captures
+    2-channel FLOAT32LE via the blocking simple API and yields ``[2, N]``
+    float32 planes. Pacing comes from the soundcard clock itself —
+    ``pa_simple_read`` blocks until the frames exist, exactly the
+    reference's source contract (its ``process()`` is a blocking read).
+    ``subdevice`` is the PulseAudio source device name (samplesource.h
+    subdevice semantics)."""
+
+    def __init__(self, device: str = ""):
+        super().__init__()
+        self._subdevice = device
+        self.sample_rate = 96_000  # typical soundcard-SDR line-in rate
+        self._pa: PulseAudioSource | None = None
+        import threading
+
+        # read/close serialization: pa_simple_free racing a blocked
+        # pa_simple_read is a native use-after-free (same hazard the
+        # SinkWriter guards on the playback side)
+        self._lock = threading.Lock()
+
+    def start(self) -> bool:
+        if not pulse_available():
+            import logging
+
+            logging.getLogger(__name__).error(
+                "soundcard capture unavailable: libpulse-simple not found")
+            return False
+        try:
+            self._pa = PulseAudioSource(self.sample_rate, 2,
+                                        self._subdevice or None)
+        except RuntimeError:
+            import logging
+
+            logging.getLogger(__name__).exception(
+                "soundcard capture failed to open")
+            return False
+        return super().start()
+
+    def stop(self) -> None:
+        super().stop()
+        with self._lock:
+            pa, self._pa = self._pa, None
+        if pa is not None:
+            pa.close()
+
+    def read_block(self) -> np.ndarray | None:
+        with self._lock:
+            pa = self._pa
+            if pa is None:
+                return None
+            data = pa.read(self.block_frames)
+        if data is None:
+            return None
+        # interleaved LRLR float32 -> [2, N] I/Q planes (the ingest
+        # layer's native-plane fast path, radio._to_planes)
+        return np.ascontiguousarray(data.reshape(-1, 2).T)
 
 
 class FileAudioSink:

@@ -18,6 +18,7 @@ Included drivers:
 
 from __future__ import annotations
 
+import os
 import socket
 import struct
 import threading
@@ -178,12 +179,30 @@ class RandTuner(Tuner):
 
 
 class ToneTuner(Tuner):
-    """Synthetic-carrier tuner for demos/tests."""
+    """Synthetic-carrier tuner for demos/tests.
+
+    Synthesis runs off-GIL in the native ingest runtime when built
+    (io/source.py NativeToneSource — the Python numpy loop is itself the
+    real-time limit at mass-monitoring widths, BASELINE r4 #6); set
+    ``WEBRADIO_PYTHON_TONE=1`` to force the pure-Python source."""
 
     driver = "tone"
 
     def __init__(self, subdevice: str = ""):
-        super().__init__(ToneSource(), name="Synthetic carrier source")
+        src = None
+        if os.environ.get("WEBRADIO_PYTHON_TONE") != "1":
+            try:
+                from . import native
+
+                if native.available() and hasattr(native.load(),
+                                                  "wr_tone_open"):
+                    from .source import NativeToneSource
+
+                    src = NativeToneSource()
+            except Exception:
+                src = None
+        super().__init__(src or ToneSource(),
+                         name="Synthetic carrier source")
         self.product = "ToneSource"
 
 
@@ -195,6 +214,29 @@ class FileTuner(Tuner):
     def __init__(self, subdevice: str):
         super().__init__(FileSource(subdevice), name="IQ capture replay")
         self.product = "FileSource"
+        self.serial = subdevice
+
+
+class SoundcardTuner(Tuner):
+    """Soundcard I/Q front end (driver "soundcard").
+
+    Wires the reference's compiled-but-unrouted ``PulseAudioSource``
+    (pulseaudio.cxx:83-92) into the tuner seam: a direct-conversion
+    receiver feeding I/Q into a stereo line-in. ``subdevice`` = the
+    PulseAudio source device name. ``centre_frequency`` tracks the
+    analog LO for display/frequency-plan purposes (the card itself has
+    no tunable oscillator); AGC/gain are accepted-and-cached like any
+    cacheable control (tuner.h:49-63). ``start()`` degrades gracefully
+    (False + log) without libpulse, like the hardware drivers."""
+
+    driver = "soundcard"
+
+    def __init__(self, subdevice: str = ""):
+        from .soundcard import SoundcardIQSource
+
+        super().__init__(SoundcardIQSource(subdevice),
+                         name="Soundcard I/Q line-in")
+        self.product = "PulseAudioSource"
         self.serial = subdevice
 
 
@@ -396,6 +438,7 @@ TUNER_DRIVERS = {
     "tone": ToneTuner,
     "file": FileTuner,
     "rtltcp": RtlTcpTuner,
+    "soundcard": SoundcardTuner,
 }
 
 

@@ -686,17 +686,40 @@ class ChannelizedPipeline:
     by configuration."""
 
     def __init__(self, cfg: ChannelizedConfig, params: ChannelizedParams):
+        import threading
+
         self.cfg = cfg
         self.params = params
         self.state = init_channelized_state(cfg)
         self._pending = None
         self._mode_set = mode_set_of(params.mode)
+        # Hitless demod-law introduction (the reference's mode switch is
+        # a free live setter, demodulator.h:49). ``mode_set`` is a STATIC
+        # arg of the serving jit, so a control write introducing a new
+        # law would retrace the flagship program on the pump thread —
+        # multi-second stall at headline widths, guaranteed ring drops.
+        # Instead: keep serving the resident program and background-
+        # compile the new one, swapping between blocks exactly like
+        # capacity growth (radio._grow_worker). Until the swap the
+        # law-changing slot demodulates under the old law set (its audio
+        # falls through the select chain) — transiently wrong for THAT
+        # slot, every other consumer unaffected. Law REMOVAL narrows the
+        # set the same way; serving the superset meanwhile is exact.
+        self._warm_mode_sets = {self._mode_set}
+        self._ms_lock = threading.Lock()
+        self._ms_target: tuple | None = None
+        self._ms_thread: threading.Thread | None = None
+        # False until the first process_host: an idle pipeline (topology
+        # being built, app never started) has no compiled program to
+        # protect — mode flips apply synchronously, and no background
+        # compile is spent on it
+        self._served = False
 
     def update_params(self, params: ChannelizedParams) -> None:
         self.params = params
         # static demod-law specialization for the fused kernels; params
         # were just built host-side, so the fetch is a no-op sync
-        self._mode_set = mode_set_of(params.mode)
+        self._set_mode_set(mode_set_of(params.mode))
 
     def update_params_slots(self, idx, sub: ChannelizedParams,
                             mode_set: tuple) -> None:
@@ -707,9 +730,93 @@ class ChannelizedPipeline:
         self.params = scatter_params_slots(
             self.params, jnp.asarray(idx, jnp.int32), sub
         )
-        self._mode_set = mode_set
+        self._set_mode_set(tuple(mode_set))
+
+    # ---- hitless mode_set swap (see __init__ notes) -------------------
+    @property
+    def mode_set_warm_pending(self) -> list | None:
+        """The demod-law set currently background-compiling, or None
+        (surfaced through GET /status as ``mode_set_warm_pending``)."""
+        t = self._ms_target
+        return list(t) if t is not None else None
+
+    def _set_mode_set(self, new_ms: tuple) -> None:
+        if new_ms == self._mode_set:
+            with self._ms_lock:
+                self._ms_target = None
+            return
+        if not self._served:
+            # nothing compiled yet: adopt synchronously (the cold compile
+            # happens at the first step either way). The warm set tracks
+            # only what the first step will actually compile.
+            with self._ms_lock:
+                self._mode_set = new_ms
+                self._warm_mode_sets = {new_ms}
+                self._ms_target = None
+            return
+        import threading
+
+        with self._ms_lock:
+            if new_ms in self._warm_mode_sets:
+                # already compiled this session: adopt at the next block
+                self._mode_set = new_ms
+                self._ms_target = None
+                return
+            self._ms_target = new_ms
+            if self._ms_thread is None or not self._ms_thread.is_alive():
+                self._ms_thread = threading.Thread(
+                    target=self._warm_mode_set_worker, daemon=True,
+                    name="modeset-warm",
+                )
+                self._ms_thread.start()
+
+    def _warm_mode_set_worker(self) -> None:
+        """Compile + device-warm the pending mode_set program off the
+        pump thread, then adopt it. Loops if the target moved again
+        while compiling (only the latest target is ever adopted)."""
+        import logging
+
+        log = logging.getLogger(__name__)
+        while True:
+            with self._ms_lock:
+                target = self._ms_target
+                if target is None:
+                    self._ms_thread = None
+                    return
+                if target in self._warm_mode_sets:
+                    self._mode_set = target
+                    self._ms_target = None
+                    self._ms_thread = None
+                    return
+            try:
+                iq = jnp.zeros((2, self.cfg.block_frames), jnp.float32)
+                out = channelized_step_serving(
+                    self.cfg, self.params,
+                    init_channelized_state(self.cfg), iq,
+                    mode_set=target,
+                )
+                jax.block_until_ready(out[1])
+                log.info("mode_set %s program warm, swapping at next "
+                         "block", target)
+            except Exception:
+                log.exception("mode_set %s warm failed; keeping %s",
+                              target, self._mode_set)
+                with self._ms_lock:
+                    if self._ms_target == target:
+                        self._ms_target = None
+                    self._ms_thread = None
+                return
+            with self._ms_lock:
+                self._warm_mode_sets.add(target)
+                if self._ms_target == target:
+                    self._mode_set = target
+                    self._ms_target = None
+                    self._ms_thread = None
+                    return
+                # target moved while compiling: loop and build the latest
 
     def process_host(self, iq_planes: np.ndarray):
+        self._served = True
         iq = jnp.asarray(iq_planes)
         self.state, audio, latest_db = channelized_step_serving(
             self.cfg, self.params, self.state, iq,
@@ -731,6 +838,7 @@ class ChannelizedPipeline:
         be ``[C, af]`` or ``[k, C, af]``."""
         from .stream import scan_serving
 
+        self._served = True
         self.state, audio, latest_db = scan_serving(
             self.cfg, self.params, self.state, jnp.asarray(blocks),
             mode_set=self._mode_set,

@@ -125,6 +125,19 @@ def _fetch_audio_rows(audio, rows) -> np.ndarray:
     return np.asarray(fn(audio, idx))
 
 
+class CapacityError(RuntimeError):
+    """Attach past capacity where growth cannot run.
+
+    Hitless growth background-compiles the doubled program and swaps it
+    between blocks — but under MULTIHOST serving that compile's warm
+    EXECUTION would run collectives off the lockstep SPMD schedule (every
+    process must execute the same collective sequence per round; a
+    background thread's sharded run on one process deadlocks the slice).
+    Growth past capacity is therefore rejected explicitly there — size
+    multihost deployments with the capacity they need up front (the HTTP
+    layer surfaces this as 409 Conflict)."""
+
+
 #: "argument not provided" sentinel for partial control writes
 UNSET = object()
 
@@ -283,9 +296,10 @@ class Receiver:
     def set_front_end(self, fe: "FrontEnd | None") -> None:
         if self.front_end is not None:
             self.front_end._detach(self)
-        self.front_end = fe
+            self.front_end = None
         if fe is not None:
-            fe._attach(self)
+            fe._attach(self)  # may raise CapacityError (multihost, full)
+            self.front_end = fe
 
     def set_mode_string(self, mode: str) -> bool:
         if mode not in MODES:
@@ -476,6 +490,13 @@ class FrontEnd:
         # pump swaps it in between blocks with carried state — hitless,
         # zero ring drops (the reference's analog: live connects never
         # stop running blocks, dspblock.cxx:57-91).
+        if self.multihost and self.running:
+            raise CapacityError(
+                f"front end {self.uuid} is at capacity "
+                f"({self.cfg.num_channels}) and capacity growth is not "
+                "supported under multihost serving — restart with a "
+                "larger capacity"
+            )
         with self._growth_lock:
             self._slots.extend([None] * len(self._slots))
             self.cfg = ChainConfig(

@@ -37,6 +37,7 @@ HTTP_NO_CONTENT = 204
 HTTP_BAD_REQUEST = 400
 HTTP_NOT_FOUND = 404
 HTTP_METHOD_NOT_ALLOWED = 405
+HTTP_CONFLICT = 409
 HTTP_INTERNAL = 500
 
 
@@ -136,6 +137,14 @@ class StatusHandler(HttpRequestHandler):
                 "channel_capacity": fe.cfg.num_channels,
                 "engine": ("channelized" if fe._use_channelized()
                            else "direct"),
+                # demod-law set background-compiling right now, if any
+                # (a PUT introduced a new law; the pump keeps serving
+                # the resident program until this warm lands — see
+                # ChannelizedPipeline._set_mode_set)
+                **({"mode_set_warm_pending": pend}
+                   if (pend := getattr(fe.pipeline,
+                                       "mode_set_warm_pending", None))
+                   is not None else {}),
                 # arithmetic quality tiers (BASELINE.md measured SNRs)
                 "fir_precision": fe.fir_precision,
                 "pfb_precision": fe.pfb_precision,
@@ -410,7 +419,21 @@ class ReceiverHandler(HttpRequestHandler):
         if not ok:
             rx.close()
             return HTTP_BAD_REQUEST
-        rx.set_front_end(fe)
+        from ..radio import CapacityError
+
+        try:
+            rx.set_front_end(fe)
+        except CapacityError as e:
+            # multihost serving cannot grow capacity live (the growth
+            # compile's warm would run collectives off the lockstep SPMD
+            # schedule); reject cleanly instead of stalling the slice
+            rx.close()
+            self.send_json({
+                "error": str(e),
+                "capacity": fe.cfg.num_channels,
+                "attached": len(fe.receivers),
+            })
+            return HTTP_CONFLICT
         self.location = f"/receivers/{rx.uuid}"
         self.send_json(_receiver_info(rx))
         return HTTP_CREATED
