@@ -76,7 +76,7 @@ def worker(out_path: str) -> None:
     from webradio_tpu.pipeline.frontend import frontend_step
     from webradio_tpu.pipeline.channelized import (
         ChannelizedConfig,
-        channelized_step,
+        channelized_step_serving,
         init_channelized_state,
         make_channelized_params,
     )
@@ -99,6 +99,10 @@ def worker(out_path: str) -> None:
 
     def checksum(audio, spectra):
         return jnp.sum(audio[:, 0]) + jnp.sum(spectra[0, 0, 0])
+
+    def checksum_serving(audio, latest_db):
+        # serving audio is time-major [af, C]; latest_db is [fft]
+        return jnp.sum(audio[0]) + jnp.sum(latest_db[0])
 
     def ifs(c):
         return [int((i - c // 2) * 2_000) for i in range(c)]
@@ -126,19 +130,20 @@ def worker(out_path: str) -> None:
     # headline configs FIRST: if the harness deadline clips the sweep,
     # the best real-time batches per tier are already on record
     sweep = [
-        (73728, "highest", "default"),   # bit-exact-FIR headline (r4,
-                                         # sub-tiled shaping FIR)
-        (69632, "highest", "default"),   # headline fallback 1
-        (86016, "hx4", "default"),       # f32-parity throughput tier
-        (79872, "hx5", "default"),       # f32-parity, 5-pass
-        (65536, "highest", "u8exact"),   # reference quality, u8 input
-        (44032, "highest", "highest"),   # reference quality, any input
-        (90112, "high", "default"),      # bf16x3 throughput tier
-        (65536, "highest", "default"),   # headline fallback 2
-        (83968, "hx4", "default"), (73728, "hx5", "default"),
-        (69632, "hx4", "u8exact"), (67584, "hx5", "u8exact"),
-        (61440, "highest", "u8exact"), (53248, "highest", "u8exact"),
-        (40960, "highest", "highest"), (36864, "highest", "highest"),
+        (77824, "highest", "default"),   # bit-exact-FIR headline (r5,
+                                         # transpose-free serving layout)
+        (73728, "highest", "default"),   # headline fallback 1
+        (88064, "hx4", "default"),       # f32-parity throughput tier
+        (83968, "hx5", "default"),       # f32-parity, 5-pass
+        (69632, "highest", "u8exact"),   # reference quality, u8 input
+        (45056, "highest", "highest"),   # reference quality, any input
+        (94208, "high", "default"),      # bf16x3 throughput tier
+        (75776, "highest", "default"),   # headline fallback 2
+        (86016, "hx4", "default"), (81920, "hx5", "default"),
+        (75776, "hx4", "u8exact"), (73728, "hx4", "u8exact"),
+        (71680, "hx5", "u8exact"),
+        (67584, "highest", "u8exact"), (65536, "highest", "u8exact"),
+        (44032, "highest", "highest"),
         (32768, "highest", "default"), (16384, "highest", "default"),
         (4096, "highest", "default"), (1024, "highest", "default"),
     ]
@@ -153,9 +158,13 @@ def worker(out_path: str) -> None:
             params = make_channelized_params(cfg, ifs(c), 80_000, 8_000, "FM")
             ms = mode_set_of(params.mode)
             state = init_channelized_state(cfg)
+            # measure the SERVING step — spectrum dB row + time-major
+            # audio, exactly the program the live pump dispatches per
+            # block (r5: the serving layout skips the [C, af] transpose)
             dt = _measure(
-                lambda p, s, x: channelized_step(cfg, p, s, x, mode_set=ms),
-                params, state, iq, checksum,
+                lambda p, s, x: channelized_step_serving(cfg, p, s, x,
+                                                         mode_set=ms),
+                params, state, iq, checksum_serving,
             )
         except Exception as e:
             emit(kind="error", key=key, error=str(e)[:120])
@@ -276,43 +285,65 @@ def roofline_model_ms(c: int, fir: str, pfb: str) -> dict:
     """Compute-/bandwidth-bound step-time model for the channelized step
     at stock rates (nd = 10240 channel-rate frames per 42.7 ms block).
 
-    MXU MAC-slots COUNT THE PADDED BAND ZEROS (they occupy the systolic
-    array): the banded shaping FIR runs 128 slots per output row per
-    channel per pass (64-tap band in a [64, 127] tile), the sub-tiled
-    audio FIR 384 per output row (span 379 -> 3 K-tiles), the filterbank
-    384 x 2C per row per pass (320-row contraction -> 3 K-tiles). The
-    VPU term models the mode_set-specialized FM chain (~35 flops per
-    sample per channel: factored-phasor LO + mix + discriminator +
-    power). HBM counts the packed product write+read, frames, weights
-    and the audio round-trip. ``ideal_ms`` assumes perfect MXU/VPU/HBM
-    overlap (max of streams); ``serial_ms`` is the no-overlap sum plus
-    the ~3 ms measured XLA front (spectrum + im2col + dispatch).
+    Two-stage model (refreshed r5 from a post-re-tile device trace at
+    C=73728/32768; the stages genuinely serialize — the fused tail
+    kernel consumes the filterbank fusion's packed product):
+
+    * FRONT (the XLA fusion: spectrum + im2col + filterbank matmul +
+      packed-product write): ``max(pfb MXU, product-write HBM)``. The
+      trace measures this stage AT its HBM bound (8.18 ms at C=73728 vs
+      7.4 modeled) — no lever left but removing the product, and the
+      filterbank-fused kernel re-A/B (r5, T=64 band) still loses at the
+      full-step level (43.1 vs 41.5 ms at C=73728).
+    * KERNEL (fused mix/FIR/demod/audio tail): ``max(FIR MXU, VPU,
+      product-read HBM)``. MXU MAC-slots COUNT THE PADDED BAND ZEROS:
+      the re-tiled shaping FIR runs 128 slots per output row per channel
+      per pass (64-tap band in ONE [64, 127] K-tile), the sub-tiled
+      audio FIR 384 per output row (span 379 -> 3 K-tiles). The VPU term
+      models the mode_set-specialized FM chain (~35 flops/sample:
+      factored-phasor LO + mix + discriminator + power). Measured 27.4
+      ms at C=73728 vs 15.3 ideal: the residual is MXU/VPU DEPENDENCE
+      inside each tile (mix feeds FIR feeds demod — the r4 microbench
+      showed independent streams co-schedule at ~max, but these are not
+      independent; manual interleave measured a wash).
+
+    ``ideal_ms`` = front_ideal + kernel_ideal (+0.7 ms measured layout
+    copies); ``serial_ms`` = no-overlap sum of every stream.
     """
     nd = 10_240
     kp2 = 320  # 2 * proto_taps at stock rates (16 taps/phase x 10 bins)
     fp = _FIR_PASSES[fir]
     pp = _PFB_PASSES[pfb]
-    macs = (
+    fir_macs = (
         2 * nd * c * 128 * fp          # shaping FIR, I+Q planes
         + (nd // 5) * c * 384 * fp     # decimating audio FIR
-        + nd * 384 * 2 * c * pp        # filterbank matmul
     )
-    mxu_ms = 2 * macs / V5E_MXU_FLOPS * 1e3
+    pfb_macs = nd * 384 * 2 * c * pp   # filterbank matmul (3 K-tiles)
+    fir_mxu_ms = 2 * fir_macs / V5E_MXU_FLOPS * 1e3
+    pfb_mxu_ms = 2 * pfb_macs / V5E_MXU_FLOPS * 1e3
     vpu_ms = nd * c * 35 / V5E_VPU_FLOPS * 1e3
-    hbm_bytes = (
-        2 * nd * 2 * c * 4             # packed product write + read
-        + nd * kp2 * 4                 # im2col frames
-        + kp2 * 2 * c * 4 * (2 if pfb == "u8exact" else 1)
+    product_bytes = nd * 2 * c * 4     # packed [nd, 2C] product
+    front_hbm_ms = (
+        product_bytes                  # product write
+        + nd * kp2 * 4                 # im2col frames read
+        + kp2 * 2 * c * 4 * (2 if pfb == "u8exact" else 1)  # weights
+    ) / V5E_HBM_BPS * 1e3
+    kernel_hbm_ms = (
+        product_bytes                  # product read (once, BlockSpec)
         + 2 * (nd // 5) * c * 4        # audio write + transpose read
-    )
-    hbm_ms = hbm_bytes / V5E_HBM_BPS * 1e3
-    front_ms = 3.0
+    ) / V5E_HBM_BPS * 1e3
+    copies_ms = 0.7                    # measured residual layout copies
+    front_ideal = max(pfb_mxu_ms, front_hbm_ms) + 0.3  # + spectrum FFT
+    kernel_ideal = max(fir_mxu_ms, vpu_ms, kernel_hbm_ms)
     return {
-        "mxu_ms": round(mxu_ms, 2),
-        "vpu_ms": round(vpu_ms, 2),
-        "hbm_ms": round(hbm_ms, 2),
-        "ideal_ms": round(max(mxu_ms, vpu_ms, hbm_ms) + front_ms, 2),
-        "serial_ms": round(mxu_ms + vpu_ms + front_ms, 2),
+        "front_mxu_ms": round(pfb_mxu_ms, 2),
+        "front_hbm_ms": round(front_hbm_ms, 2),
+        "kernel_mxu_ms": round(fir_mxu_ms, 2),
+        "kernel_vpu_ms": round(vpu_ms, 2),
+        "kernel_hbm_ms": round(kernel_hbm_ms, 2),
+        "ideal_ms": round(front_ideal + kernel_ideal + copies_ms, 2),
+        "serial_ms": round(pfb_mxu_ms + front_hbm_ms + fir_mxu_ms
+                           + vpu_ms + kernel_hbm_ms + copies_ms + 0.3, 2),
     }
 
 

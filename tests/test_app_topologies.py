@@ -250,9 +250,9 @@ def test_unwatched_receivers_never_fetch_audio(monkeypatch, tmp_path):
     calls = {"n": 0}
     real = radio_mod._fetch_audio_rows
 
-    def counting(audio, rows):
+    def counting(audio, rows, time_major=False):
         calls["n"] += 1
-        return real(audio, rows)
+        return real(audio, rows, time_major)
 
     monkeypatch.setattr(radio_mod, "_fetch_audio_rows", counting)
     config = {

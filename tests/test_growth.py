@@ -50,9 +50,13 @@ def _settings(width):
 
 def _run(pipe, blocks):
     outs = []
+    tm = bool(getattr(pipe, "audio_time_major", False))
     for b in blocks:
         audio, _ = pipe.process_host_sync(b)
-        outs.append(np.asarray(audio))
+        audio = np.asarray(audio)
+        # channelized serving audio is time-major [af, C]; normalize to
+        # the channel-major layout these comparisons are written in
+        outs.append(audio.T if tm else audio)
     return outs
 
 

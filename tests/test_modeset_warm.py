@@ -81,7 +81,8 @@ class TestPipelineModeSetSwap:
     def test_serving_continues_during_warm(self, rng):
         """process_host keeps running the resident program while the new
         law compiles; audio for UNCHANGED channels is identical to a
-        pipeline that never saw the control write."""
+        pipeline that never saw the control write. (Serving audio is
+        time-major [af, C] — channels are columns.)"""
         cfg, pipe = _mk_pipeline(["FM"] * 16)
         _, ref = _mk_pipeline(["FM"] * 16)
         blocks = [
@@ -100,14 +101,14 @@ class TestPipelineModeSetSwap:
         a1 = pipe.process_host_sync(blocks[1])[0]
         r1 = ref.process_host_sync(blocks[1])[0]
         # unchanged channels: bit-identical regardless of warm state
-        np.testing.assert_array_equal(np.asarray(a1)[:15],
-                                      np.asarray(r1)[:15])
+        np.testing.assert_array_equal(np.asarray(a1)[:, :15],
+                                      np.asarray(r1)[:, :15])
         target = mode_set_of([MODES.index(m) for m in modes])
         assert _wait_mode_set(pipe, target)
         a2 = pipe.process_host_sync(blocks[2])[0]
         r2 = ref.process_host_sync(blocks[2])[0]
-        np.testing.assert_array_equal(np.asarray(a2)[:15],
-                                      np.asarray(r2)[:15])
+        np.testing.assert_array_equal(np.asarray(a2)[:, :15],
+                                      np.asarray(r2)[:, :15])
 
 
 # ---------------------------------------------------------------- live app
@@ -127,7 +128,15 @@ def test_live_mode_switch_drops_no_blocks():
         "tuners": [{
             "driver": "tone", "centre_frequency": 100_000_000,
             "sample_rate": FS, "channel_rate": CR, "audio_rate": AR,
-            "block_frames": BF, "capacity": 16,
+            # distinct (width, block) no other test compiles, so the
+            # PUT's mode_set warm is a COLD compile and the in-flight
+            # state is reliably observable via /status. 64 ms blocks
+            # double the ring's stall tolerance: on THIS 2-core CI box
+            # the background compile contends with the virtual-CPU
+            # devices for the pump's own compute (a regime the real
+            # deployment never sees — TPU steps run on the device while
+            # the compile runs on host cores).
+            "block_frames": 2 * BF, "capacity": 20,
             "engine": "channelized",
         }],
         "receivers": [

@@ -105,7 +105,10 @@ class TestServingCatchupScan:
         audio, latest_db = scan.flush()
         assert audio.shape == (N_BLOCKS, CCFG.num_channels, CCFG.audio_frames)
         for b in range(N_BLOCKS):
-            np.testing.assert_allclose(audio[b], seq_out[b][0], atol=1e-5)
+            # per-block serving audio is time-major [af, C]; the scan
+            # keeps the offline [k, C, af] layout
+            np.testing.assert_allclose(audio[b], np.asarray(seq_out[b][0]).T,
+                                       atol=1e-5)
         # latest_db is the LAST block's spectrum row
         np.testing.assert_allclose(latest_db, seq_out[-1][1], atol=1e-3)
 

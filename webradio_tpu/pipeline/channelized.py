@@ -474,6 +474,17 @@ def channelized_step(
     statically specializes the fused kernels' demod section to the laws
     present; None keeps the generic all-law kernel.
     """
+    return _channelized_step(cfg, params, state, iq, mode_set, False)
+
+
+def _channelized_step(cfg, params, state, iq, mode_set, time_major):
+    """Step body shared by :func:`channelized_step` (channel-major audio,
+    the host/test layout) and :func:`channelized_step_serving`
+    (``time_major=True``: audio stays ``[audio_frames, C]`` — the fused
+    kernels' NATIVE output layout, so the serving path never pays the
+    full-array transpose back to ``[C, audio_frames]``; a device trace
+    at C=73728 attributed 1.9 ms/block to that copy, and serving
+    consumers only ever gather a few columns anyway)."""
     spectra = ops.spectrum_accumulate(iq, cfg.fft_size)
 
     nco_phase = ops.nco_advance(
@@ -594,15 +605,17 @@ def channelized_step(
                 audio_tm, params.audio_toep, cfg.audio_decim,
                 state.audio_hist.T, precision=_xla_prec(prec),
             )
-        audio = audio.T  # [C, audio_frames] — the host layout
         # squelch gate power: POST-shaping-FIR (in-band) mean |y|^2, the
         # same basis as the direct engine, so a threshold behaves
         # identically across the auto engine flip (the fused kernels
         # accumulate it in VMEM; the XLA path reads y2 directly)
         from .frontend import squelch_scale
 
-        audio = audio * squelch_scale(power, params.af_gain,
-                                      params.squelch)[:, None]
+        scale = squelch_scale(power, params.af_gain, params.squelch)
+        if time_major:
+            audio = audio * scale[None, :]  # stays [audio_frames, C]
+        else:
+            audio = audio.T * scale[:, None]  # [C, audio_frames]
         new_state = ChannelizedState(
             pfb_hist=pfb_hist,
             nco_phase=nco_phase,
@@ -651,6 +664,10 @@ def channelized_step(
 
     audio = audio * squelch_scale(power, params.af_gain,
                                   params.squelch)[:, None]
+    if time_major:
+        # legacy channel-major paths (pallas_tail / fir_dispatch): match
+        # the serving layout contract with one small transpose
+        audio = audio.T
 
     new_state = ChannelizedState(
         pfb_hist=pfb_hist,
@@ -672,9 +689,15 @@ def channelized_step_serving(
     mode_set: tuple | None = None,
 ) -> tuple[ChannelizedState, jax.Array, jax.Array]:
     """Serving variant: (state, audio, latest spectrum row in dB) — the
-    channelized counterpart of ``frontend_step_serving``."""
-    new_state, audio, spectra = channelized_step(cfg, params, state, iq,
-                                                 mode_set=mode_set)
+    channelized counterpart of ``frontend_step_serving``.
+
+    Audio is TIME-MAJOR here (``[audio_frames, C]``, the kernels' native
+    layout): the serving plane only ever gathers a few consumer columns,
+    so the full ``[C, audio_frames]`` transpose the test/offline layout
+    needs (1.9 ms/block at C=73728) is never paid per block. The fan-out
+    fetch path handles both orientations (radio._fetch_audio_rows)."""
+    new_state, audio, spectra = _channelized_step(cfg, params, state, iq,
+                                                  mode_set, True)
     latest_db = ops.spectrum_db(spectra[:, spectra.shape[1] - 1, :])
     return new_state, audio, latest_db
 
@@ -683,7 +706,16 @@ class ChannelizedPipeline:
     """Stateful wrapper with the same host interface as
     :class:`webradio_tpu.pipeline.frontend.FrontEndPipeline` (double-
     buffered ``process_host``), so the live server can swap compute paths
-    by configuration."""
+    by configuration.
+
+    Per-block audio from ``process_host`` is TIME-MAJOR
+    (``[audio_frames, C]`` — see ``channelized_step_serving``);
+    ``audio_time_major`` tells the serving fan-out which axis holds
+    channels. The catch-up scan (``process_host_many``) keeps the
+    ``[k, C, audio_frames]`` layout of the shared scan program."""
+
+    #: per-block process_host audio orientation (radio._publish)
+    audio_time_major = True
 
     def __init__(self, cfg: ChannelizedConfig, params: ChannelizedParams):
         import threading

@@ -96,32 +96,44 @@ def _to_planes(block: np.ndarray) -> np.ndarray:
 _row_fetchers: dict = {}
 
 
-def _fetch_audio_rows(audio, rows) -> np.ndarray:
+def _fetch_audio_rows(audio, rows, time_major: bool = False) -> np.ndarray:
     """Fetch the subscribed receivers' audio rows from a (device) array:
     ONE jitted gather + ONE device->host transfer for the whole consumer
     set, in the fan-out worker's thread.
 
-    One executable per array rank with the indices as a traced vector —
-    a static per-row ``audio[i]`` would build one tiny executable per
-    slot index and per width, and those compiles queue behind any
-    in-flight growth compile, stalling delivery for seconds (measured:
-    ring drops during hitless growth under the old pump-side design).
-    The fetchers are warmed alongside every pipeline warm-up. Returns
+    One executable per (rank, orientation) with the indices as a traced
+    vector — a static per-row ``audio[i]`` would build one tiny
+    executable per slot index and per width, and those compiles queue
+    behind any in-flight growth compile, stalling delivery for seconds
+    (measured: ring drops during hitless growth under the old pump-side
+    design). The fetchers are warmed alongside every pipeline warm-up.
+
+    ``time_major`` selects the channelized serving layout
+    (``[audio_frames, C]`` 2-D — channels are COLUMNS, the kernels'
+    native output; see channelized_step_serving). Returns
     ``[k, audio_frames]`` for 2-D input, ``[blocks, k, audio_frames]``
-    for a catch-up scan's 3-D input.
+    for a catch-up scan's 3-D input, in either orientation.
     """
     idx = np.asarray(rows, np.int32)
     if isinstance(audio, np.ndarray):
+        if time_major:
+            return (audio[:, idx].T if audio.ndim == 2
+                    else np.moveaxis(audio[..., idx], -1, -2))
         return audio[..., idx, :]
     import jax
+    import jax.numpy as jnp
 
-    fn = _row_fetchers.get(audio.ndim)
+    key = (audio.ndim, time_major)
+    fn = _row_fetchers.get(key)
     if fn is None:
-        if audio.ndim == 2:
+        if time_major:
+            fn = (jax.jit(lambda a, i: a[:, i].T) if audio.ndim == 2
+                  else jax.jit(lambda a, i: jnp.moveaxis(a[..., i], -1, -2)))
+        elif audio.ndim == 2:
             fn = jax.jit(lambda a, i: a[i])
         else:
             fn = jax.jit(lambda a, i: a[:, i, :])
-        _row_fetchers[audio.ndim] = fn
+        _row_fetchers[key] = fn
     return np.asarray(fn(audio, idx))
 
 
@@ -732,7 +744,10 @@ class FrontEnd:
         warm = np.zeros((2, self.cfg.block_frames), np.float32)
         out = self.pipeline.process_host_sync(warm)
         if out is not None:
-            _fetch_audio_rows(out[0], [0])  # warm the fan-out fetch path
+            _fetch_audio_rows(
+                out[0], [0],
+                bool(getattr(self.pipeline, "audio_time_major", False)),
+            )  # warm the fan-out fetch path
         self.pipeline.reset()
         log.info("front end %s: pipeline warm in %.1fs", self.uuid,
                  time.perf_counter() - t0)
@@ -1102,7 +1117,10 @@ class FrontEnd:
                 if out is not None:
                     # warm the per-row fetch at the grown width so the
                     # pump never compiles the slice mid-stream
-                    _fetch_audio_rows(out[0], [0])
+                    _fetch_audio_rows(
+                        out[0], [0],
+                        bool(getattr(pipe, "audio_time_major", False)),
+                    )
                 pipe.reset()
                 # pre-compile the state-migration pads on dummy state of
                 # the serving width, so the pump-side swap hits the jit
@@ -1154,6 +1172,11 @@ class FrontEnd:
             return
         old = self.pipeline
         leftover = old.flush()  # in-flight block of the old width
+        if leftover is not None:
+            # publish under the OLD pipeline's audio orientation (the
+            # new one may be a different engine/layout)
+            self._publish(leftover)
+            leftover = None
         migrated = False
         try:
             if isinstance(old, ChannelizedPipeline) and isinstance(
@@ -1185,8 +1208,6 @@ class FrontEnd:
                      "state restarts fresh", self.uuid)
         self.pipeline = new_pipe
         self.rebuild_params()  # control writes made during the compile
-        if leftover is not None:
-            self._publish(leftover)
         # pre-warm the grown pipeline's alternate param structures too
         threading.Thread(target=self._warm_param_variants, daemon=True,
                          name=f"warm-{self.uuid}").start()
@@ -1360,7 +1381,13 @@ class FrontEnd:
         with self._spec_lock:
             # kept on device; get_spectrum_db fetches on HTTP demand
             self._spectrum_db = spectra_db_latest
-        width = audio.shape[1] if audio.ndim == 3 else audio.shape[0]
+        # per-block channelized serving audio is time-major [af, C]
+        # (channelized_step_serving); the catch-up scan [k, C, af] and
+        # the direct/sharded engines stay channel-major
+        tm = (audio.ndim == 2
+              and bool(getattr(self.pipeline, "audio_time_major", False)))
+        width = audio.shape[0] if (audio.ndim == 2 and not tm) \
+            else audio.shape[1]
         rows = [
             i for i, rx in enumerate(self._slots[:width])
             if rx is not None
@@ -1369,7 +1396,7 @@ class FrontEnd:
         ]
         if not rows:
             return  # unwatched: audio never leaves the device
-        self._fanout.put((audio, tuple(rows)))
+        self._fanout.put((audio, tuple(rows), tm))
 
     def _fanout_worker(self) -> None:
         """Audio fan-out off the pump thread (see _publish).
@@ -1390,10 +1417,10 @@ class FrontEnd:
                 if self._fanout.closed or not self.running:
                     return
                 continue
-            audio, rows = item
+            audio, rows, tm = item
             t0 = time.monotonic()
             try:
-                sel = _fetch_audio_rows(audio, rows)
+                sel = _fetch_audio_rows(audio, rows, tm)
             except Exception:
                 log.debug("front end %s: fan-out fetch failed", self.uuid,
                           exc_info=True)
