@@ -130,20 +130,21 @@ def worker(out_path: str) -> None:
     # headline configs FIRST: if the harness deadline clips the sweep,
     # the best real-time batches per tier are already on record
     sweep = [
-        (77824, "highest", "default"),   # bit-exact-FIR headline (r5,
-                                         # transpose-free serving layout)
-        (73728, "highest", "default"),   # headline fallback 1
-        (88064, "hx4", "default"),       # f32-parity throughput tier
-        (83968, "hx5", "default"),       # f32-parity, 5-pass
-        (69632, "highest", "u8exact"),   # reference quality, u8 input
-        (45056, "highest", "highest"),   # reference quality, any input
-        (94208, "high", "default"),      # bf16x3 throughput tier
-        (75776, "highest", "default"),   # headline fallback 2
-        (86016, "hx4", "default"), (81920, "hx5", "default"),
-        (75776, "hx4", "u8exact"), (73728, "hx4", "u8exact"),
-        (71680, "hx5", "u8exact"),
-        (67584, "highest", "u8exact"), (65536, "highest", "u8exact"),
-        (44032, "highest", "highest"),
+        (81920, "highest", "default"),   # bit-exact-FIR headline (r5:
+                                         # transpose-free serving layout
+                                         # + audio-FIR ta_sub=16 re-tile)
+        (79872, "highest", "default"),   # headline fallback 1
+        (90112, "hx4", "default"),       # f32-parity throughput tier
+        (86016, "hx5", "default"),       # f32-parity, 5-pass
+        (73728, "highest", "u8exact"),   # reference quality, u8 input
+        (46080, "highest", "highest"),   # reference quality, any input
+        (96256, "high", "default"),      # bf16x3 throughput tier
+        (77824, "highest", "default"),   # headline fallback 2
+        (88064, "hx4", "default"), (83968, "hx5", "default"),
+        (77824, "hx4", "u8exact"), (75776, "hx4", "u8exact"),
+        (73728, "hx5", "u8exact"),
+        (71680, "highest", "u8exact"), (69632, "highest", "u8exact"),
+        (45056, "highest", "highest"),
         (32768, "highest", "default"), (16384, "highest", "default"),
         (4096, "highest", "default"), (1024, "highest", "default"),
     ]
@@ -316,7 +317,10 @@ def roofline_model_ms(c: int, fir: str, pfb: str) -> dict:
     pp = _PFB_PASSES[pfb]
     fir_macs = (
         2 * nd * c * 128 * fp          # shaping FIR, I+Q planes
-        + (nd // 5) * c * 384 * fp     # decimating audio FIR
+        # audio FIR at the r5 ta_sub=16 re-tile: span 139 -> 2 K-tiles
+        # per output row (was 3 at ta_sub=64; measured -1.4 ms at
+        # C=73728/highest, matching this slot count)
+        + (nd // 5) * c * 256 * fp
     )
     pfb_macs = nd * 384 * 2 * c * pp   # filterbank matmul (3 K-tiles)
     fir_mxu_ms = 2 * fir_macs / V5E_MXU_FLOPS * 1e3

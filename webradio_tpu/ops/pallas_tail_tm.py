@@ -43,6 +43,7 @@ concatenated history onto the planes, paying a full write+read of the
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -690,8 +691,13 @@ def _kernel_pfb_audio(k_taps, fir_tile, d, tg, nd, prec, fast, mode_set,
 #: output-row sub-tile for the in-kernel decimating audio FIR (see
 #: _kernel_audio). Pulled small by band density (the dense span grows
 #: ``ta_sub * D``-fast around the fixed K-wide band) and large by MXU
-#: row utilisation; mirrors toeplitz_tile's measured decimating optimum.
-AUDIO_SUB_TILE = 64
+#: row utilisation. At stock rates (D=5, K=64): 64 -> span 379 (3 MXU
+#: K-tiles per output row), 32 -> 219 (2 K-tiles), 16 -> 139, 8 -> 99
+#: (1 K-tile). r5 full-step A/B at C=73728/highest/serving: 64 -> 39.65
+#: ms, 32 -> 38.76, 16 -> 38.23, 8 -> 38.25 — K-tile count beats row
+#: occupancy exactly as in the shaping-FIR re-tile (BASELINE r4 #8);
+#: 16 is the measured optimum. Env-overridable for A/B runs.
+AUDIO_SUB_TILE = int(os.environ.get("WEBRADIO_AUDIO_SUB_TILE", "16"))
 
 
 def _audio_sub_tile(t_a: int) -> int:

@@ -64,6 +64,16 @@ OVERLOAD_GROWTH_BLOCKS = 2
 #: the worst-case cost of a false fire on a congested host link
 OVERLOAD_COOLDOWN_S = 60.0
 
+#: the overload backstop is DISARMED while any device->host fetch of
+#: current outputs happened within this window: a consumer fan-out fetch
+#: (or waterfall poll) forces completion of the block it depends on, so
+#: the dispatch queue is already bounded by FANOUT_QUEUE_DEPTH — the
+#: backstop exists only for the unwatched-device case. Measured (r5): on
+#: a ~3 s-RTT tunnel under 8-consumer load, latency-sampled strikes
+#: false-fired and the forced sync itself dropped 70-80 blocks while the
+#: pump had been keeping pace.
+OVERLOAD_FETCH_QUIET_S = 15.0
+
 #: ring backlog that triggers the catch-up scan (and the blocks per scanned
 #: dispatch). One fixed size keeps the extra compiled program count at 1;
 #: the warm is lazy — a healthy real-time pump never pays for any of this
@@ -470,6 +480,10 @@ class FrontEnd:
         self._device_behind = False
         self._overload_strikes = 0
         self._last_overload_sync = 0.0
+        # last device->host fetch of current outputs (fan-out or
+        # spectrum poll): while recent, the dispatch queue is bounded by
+        # construction and the backstop stays disarmed
+        self._last_output_fetch = 0.0
         # multihost round-boundary control application + on-demand
         # spectrum gathers (see _run_once_multihost)
         self._mh_ctrl_dirty = False
@@ -1345,8 +1359,16 @@ class FrontEnd:
             window.append(dt)
             growing = (baseline is not None
                        and dt > baseline + OVERLOAD_GROWTH_BLOCKS * block_ns)
-            if dt > OVERLOAD_BLOCKS * block_ns and (growing
-                                                    or baseline is None):
+            # a recent output fetch (consumer fan-out / waterfall poll)
+            # already forced a dispatched block to completion: the queue
+            # is bounded by construction, and on a seconds-RTT link the
+            # latency samples are jitter, not queue depth
+            watched = (time.monotonic() - self._last_output_fetch
+                       < OVERLOAD_FETCH_QUIET_S)
+            if watched:
+                self._overload_strikes = 0
+            elif dt > OVERLOAD_BLOCKS * block_ns and (growing
+                                                      or baseline is None):
                 self._overload_strikes += 1
                 if self._overload_strikes >= OVERLOAD_STRIKES:
                     self._overload_strikes = 0
@@ -1425,6 +1447,9 @@ class FrontEnd:
                 log.debug("front end %s: fan-out fetch failed", self.uuid,
                           exc_info=True)
                 continue
+            # this fetch forced its block's dispatch chain to complete:
+            # the device queue is bounded — disarm the overload backstop
+            self._last_output_fetch = time.monotonic()
             dur = time.monotonic() - t0
             if sel.ndim == 3:  # catch-up scan: [blocks, k, af]
                 for b in range(sel.shape[0]):
@@ -1489,7 +1514,11 @@ class FrontEnd:
             spec = self._spectrum_db
         if spec is None:
             return np.full(self.cfg.fft_size, -10000.0, np.float32)
-        return np.asarray(spec).copy()
+        out = np.asarray(spec).copy()
+        # a completed spectrum fetch bounds the dispatch queue exactly
+        # like a fan-out fetch (see _sample_step_async)
+        self._last_output_fetch = time.monotonic()
+        return out
 
     def profile_ns_per_frame(self) -> float:
         """Sampled dispatch-to-completion cost per input frame
