@@ -139,6 +139,8 @@ def worker(out_path: str) -> None:
         (73728, "highest", "u8exact"),   # reference quality, u8 input
         (46080, "highest", "highest"),   # reference quality, any input
         (96256, "high", "default"),      # bf16x3 throughput tier
+        (88064, "highest", "bf16"),      # bf16-stored product tier
+        (86016, "highest", "bf16"),      # (reported separately)
         (77824, "highest", "default"),   # headline fallback 2
         (88064, "hx4", "default"), (83968, "hx5", "default"),
         (77824, "hx4", "u8exact"), (75776, "hx4", "u8exact"),
@@ -404,6 +406,9 @@ def main() -> None:
     report = {}
     parity = {}
     best_rt = {"highest": 0, "hx5": 0, "hx4": 0, "high": 0}
+    best_bf16p = 0  # pfb="bf16" (bf16-STORED product) — reported apart:
+    # its product quality sits ~3 dB under the "default" tier every
+    # other headline row uses
     best_refq = 0  # fir=highest AND pfb=highest (float32-exact chain)
     best_refq_u8 = 0  # fir=highest, pfb=u8exact (exact for u8 input)
     best_u8_parity = 0  # fir in {highest,hx5,hx4}, pfb=u8exact
@@ -422,6 +427,13 @@ def main() -> None:
                 if rec["path"] == "pfb":
                     fp = rec.get("precision", "highest")
                     pp = rec.get("pfb_precision", "default")
+                    if pp == "bf16":
+                        # bf16-stored product: its own tier, never the
+                        # headline (see best_bf16p note)
+                        if (rec.get("realtime")
+                                and rec["channels"] > best_bf16p):
+                            best_bf16p = rec["channels"]
+                        continue
                     if rec.get("realtime") and rec["channels"] > best_rt[fp]:
                         best_rt[fp] = rec["channels"]
                         if fp == "highest":
@@ -521,6 +533,10 @@ def main() -> None:
                 # own 3e-6 equality bound
                 "realtime_channels_f32parity": f32parity,
                 "realtime_channels_bf16x3": bf16x3,
+                # bf16-STORED packed product (pfb="bf16"): bit-exact
+                # FIRs on a product ~3 dB below the "default" tier's —
+                # the cheapest-HBM throughput configuration
+                "realtime_channels_bf16product": best_bf16p,
                 **roofline,
                 # float32-exact end to end (fir=highest AND pfb=highest;
                 # ~146 dB vs float64 on FM tones — the reference chain's
@@ -657,7 +673,8 @@ def accuracy() -> int:
                              ("highest", "highest"), ("high", "default"),
                              ("high", "high"), ("highest", "u8exact"),
                              ("high", "u8exact"), ("hx5", "highest"),
-                             ("hx5", "u8exact"), ("hx4", "highest")):
+                             ("hx5", "u8exact"), ("hx4", "highest"),
+                             ("highest", "bf16")):
             cfg = ChannelizedConfig(num_channels=c, fir_precision=fir_p,
                                     pfb_precision=pfb_p)
             params = make_channelized_params(cfg, ifs, 80_000, 8_000, "FM")

@@ -462,3 +462,50 @@ def test_u8exact_channel_shard_slices(rng):
                                    np.asarray(fi)[:, lo:hi], atol=2e-6)
         np.testing.assert_allclose(np.asarray(sq),
                                    np.asarray(fq)[:, lo:hi], atol=2e-6)
+
+
+def test_bf16_product_tier(rng):
+    """pfb_precision="bf16": the one-bf16-pass product STORED bfloat16
+    (half the packed product's HBM footprint — the r5 throughput tier).
+    Pins (a) the Pallas and XLA tails agree exactly at this tier, and
+    (b) the storage rounding costs only a bounded SNR step vs the
+    "default" tier (same arithmetic, f32 storage)."""
+    from webradio_tpu.pipeline.channelized import (
+        ChannelizedConfig,
+        channelized_step,
+        init_channelized_state,
+        make_channelized_params,
+        mode_set_of,
+    )
+
+    fs, cr, ar, bf = 1_024_000, 128_000, 32_000, 10_240
+    c = 512  # Pallas-eligible width (interpret mode on CPU)
+    ifs = [(i - c // 2) * 1_000 for i in range(c)]
+    x = jnp.asarray(rng.standard_normal((2, bf)).astype(np.float32))
+    outs = {}
+    for pp, tail in (("default", "auto"), ("bf16", "auto"),
+                     ("bf16", "xla")):
+        cfg = ChannelizedConfig(sample_rate=fs, channel_rate=cr,
+                                audio_rate=ar, block_frames=bf,
+                                num_channels=c, pfb_precision=pp,
+                                tail_kernel=tail)
+        params = make_channelized_params(cfg, ifs, 40_000, 8_000, "FM")
+        _, audio, _ = channelized_step(
+            cfg, params, init_channelized_state(cfg), x,
+            mode_set=mode_set_of(params.mode))
+        outs[(pp, tail)] = np.asarray(audio, np.float64)
+    # tails agree exactly on the same stored product
+    np.testing.assert_array_equal(outs[("bf16", "auto")],
+                                  outs[("bf16", "xla")])
+    err = outs[("bf16", "auto")] - outs[("default", "auto")]
+    snr = 10 * np.log10(np.mean(outs[("default", "auto")] ** 2)
+                        / max(np.mean(err ** 2), 1e-300))
+    assert snr > 30, f"bf16 product storage SNR collapsed: {snr:.1f} dB"
+
+
+def test_bf16_rejected_for_pallas_pfb():
+    from webradio_tpu.pipeline.channelized import ChannelizedConfig
+
+    with pytest.raises(ValueError):
+        ChannelizedConfig(num_channels=512, pfb_precision="bf16",
+                          tail_kernel="pallas_pfb")

@@ -349,7 +349,8 @@ def pfb_frames_tm(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("decimation", "split", "precision"))
+                   static_argnames=("decimation", "split", "precision",
+                                    "out_dtype"))
 def pfb_channelize_direct_tm(
     x: jax.Array,
     weights: jax.Array,
@@ -357,6 +358,7 @@ def pfb_channelize_direct_tm(
     history: jax.Array,
     split: bool = True,
     precision=None,
+    out_dtype=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Time-major variant of :func:`pfb_channelize_direct`:
     ``[2, N] -> (i [nd, C], q [nd, C], new_history)``.
@@ -380,6 +382,12 @@ def pfb_channelize_direct_tm(
 
     y = _pfb_dot(f2, weights.reshape(weights.shape[0], 2 * c), precision)
     # [nd, 2C]: columns [:C] = mixed I, [C:] = mixed Q
+    if out_dtype is not None:
+        # bf16-stored product (pfb_precision "bf16"): the throughput
+        # tier's product arithmetic is already one bf16 pass (~51 dB),
+        # so halving its HBM footprint costs ~one more mantissa rounding
+        # while removing ~6 GB/block of write+read at C=73728
+        y = y.astype(out_dtype)
 
     if not split:
         return y, y, new_history

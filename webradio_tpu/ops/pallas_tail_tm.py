@@ -301,8 +301,10 @@ def _kernel(k_taps, fir_tile, nd, prec, fast, mode_set,
     phase0 = phase0_ref[0, :]
     step = step_ref[0, :]
     s, c = _tile_lo(fast, tg, row0, phase0, step, fine_s, fine_c)
-    xi = ci_ref[:]
-    xq = cq_ref[:]
+    # bf16-stored packed product (pfb_precision "bf16"): upcast at load,
+    # all arithmetic stays float32
+    xi = ci_ref[:].astype(jnp.float32)
+    xq = cq_ref[:].astype(jnp.float32)
     mi_d = xi * c + xq * s
     mq_d = xq * c - xi * s
 
@@ -660,9 +662,12 @@ def _audio_tail_core(k_taps, fir_tile, d, tg, nd, prec, fast, mode_set,
 
 def _kernel_audio(k_taps, fir_tile, d, tg, nd, prec, fast, mode_set,
                   interleave, ci_ref, cq_ref, *rest):
-    """Plane-fed audio tail: selected-bin tiles arrive as inputs."""
+    """Plane-fed audio tail: selected-bin tiles arrive as inputs
+    (float32, or bfloat16 for the bf16-stored product tier — upcast at
+    load, arithmetic stays float32)."""
     _audio_tail_core(k_taps, fir_tile, d, tg, nd, prec, fast, mode_set,
-                     interleave, ci_ref[:], cq_ref[:], *rest)
+                     interleave, ci_ref[:].astype(jnp.float32),
+                     cq_ref[:].astype(jnp.float32), *rest)
 
 
 def _kernel_pfb_audio(k_taps, fir_tile, d, tg, nd, prec, fast, mode_set,

@@ -65,6 +65,7 @@ def _shard_body(cfg: ChannelizedConfig, t_shards: int, params, state, iq_local):
         y2, _, pfb_hist_local = _channelize_tm(cfg, params, pfb_hist,
                                                iq_local, split=False)
         cl = params.pfb_weights_split.shape[3]
+        y2 = y2.astype(jnp.float32)
         chan_in = jnp.stack([y2[:, :cl].T, y2[:, cl:].T])
     else:
         chan_in, pfb_hist_local = pfb_channelize_direct(
@@ -161,7 +162,10 @@ def _shard_body_tm(cfg: ChannelizedConfig, t_shards: int, c_shards: int,
 
     ci, cq, pfb_hist_local = _channelize_tm(cfg, params, pfb_hist,
                                             iq_local, split=True)
-    # [nd_local, C_local]
+    # [nd_local, C_local]; bf16-stored product upcasts here (the local
+    # tail mixes halo rows in f32 before the kernels see them)
+    ci = ci.astype(jnp.float32)
+    cq = cq.astype(jnp.float32)
     new_pfb_hist = _from_last(pfb_hist_local, tidx, t_shards)
 
     # ---- residual NCO start phase per shard (closed form, no comms)

@@ -106,7 +106,10 @@ class ChannelizedConfig:
 
     _FIR_PRECISIONS = ("highest", "hx5", "hx4", "high")
     _TAIL_KERNELS = ("auto", "xla", "pallas", "pallas_pfb")
-    _PFB_PRECISIONS = ("default", "high", "highest", "u8exact")
+    #: "bf16" = the "default" one-bf16-pass arithmetic with the packed
+    #: product STORED bfloat16 (half the front's HBM write + the
+    #: kernel's read; ~one extra mantissa rounding on a ~51 dB product)
+    _PFB_PRECISIONS = ("default", "high", "highest", "u8exact", "bf16")
 
     def __post_init__(self):
         if self.sample_rate % self.channel_rate:
@@ -131,10 +134,12 @@ class ChannelizedConfig:
             raise ValueError(
                 f"pfb_precision must be one of {self._PFB_PRECISIONS}"
             )
-        if self.tail_kernel == "pallas_pfb" and self.pfb_precision == "u8exact":
+        if self.tail_kernel == "pallas_pfb" and self.pfb_precision in (
+                "u8exact", "bf16"):
             raise ValueError(
-                "tail_kernel='pallas_pfb' does not implement the u8exact "
-                "split-weight law; use the default packed path"
+                "tail_kernel='pallas_pfb' does not implement the "
+                f"{self.pfb_precision} law (it never materializes the "
+                "packed product); use the default packed path"
             )
         if self.fir_design not in ("reference", "sinc"):
             raise ValueError("fir_design must be 'reference' or 'sinc'")
@@ -379,6 +384,7 @@ def _channelize_tm(cfg, params, pfb_hist, iq, split):
     return pfb_channelize_direct_tm(
         iq, params.pfb_weights, cfg.num_bins, pfb_hist, split=split,
         precision=_pfb_prec(cfg),
+        out_dtype=(jnp.bfloat16 if cfg.pfb_precision == "bf16" else None),
     )
 
 
@@ -428,6 +434,7 @@ def _pfb_prec(cfg: ChannelizedConfig):
         return "u8exact"  # split-weight 2-pass law, ops.channelizer._pfb_dot
     return {
         "default": _jax.lax.Precision.DEFAULT,
+        "bf16": _jax.lax.Precision.DEFAULT,  # + bf16 product storage
         "high": _jax.lax.Precision.HIGH,
         "highest": _jax.lax.Precision.HIGHEST,
     }[cfg.pfb_precision]
@@ -584,6 +591,9 @@ def _channelized_step(cfg, params, state, iq, mode_set, time_major):
             ci, cq, pfb_hist = _channelize_tm(
                 cfg, params, state.pfb_hist, iq, split=True,
             )
+            # bf16-stored product tier: XLA tail computes in float32
+            ci = ci.astype(jnp.float32)
+            cq = cq.astype(jnp.float32)
             mix_tm = ops.nco_mix_tm_fast if cfg.fast_nco else ops.nco_mix_tm
             mi, mq = mix_tm(ci, cq, state.nco_phase, params.residual_step)
             # both planes through one banded matmul: stack on the lane axis
@@ -629,6 +639,7 @@ def _channelized_step(cfg, params, state, iq, mode_set, time_major):
         y2, _, pfb_hist = _channelize_tm(cfg, params, state.pfb_hist, iq,
                                          split=False)
         c_ = cfg.num_channels
+        y2 = y2.astype(jnp.float32)
         chan_in = jnp.stack([y2[:, :c_].T, y2[:, c_:].T])
     else:
         chan_in, pfb_hist = pfb_channelize_direct(
