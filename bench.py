@@ -698,7 +698,8 @@ def accuracy() -> int:
 
 
 def soak(seconds: int = 30, capacity: int = 1024, consumers: int = 8,
-         pfb: str = "highest", driver: str = "tone") -> int:
+         pfb: str = "highest", driver: str = "tone",
+         fir: str = "highest") -> int:
     """Live-server soak on the real backend (VERDICT r2 #10 / r3 #6).
 
     Boots the full application — tone tuner at the reference's stock
@@ -748,6 +749,7 @@ def soak(seconds: int = 30, capacity: int = 1024, consumers: int = 8,
                 # budget at that C (BASELINE per-tier maxima); the
                 # default mirrors the app's synthetic-tuner default
                 "pfb_precision": pfb,
+                "fir_precision": fir,
             }
         ],
         "receivers": [
@@ -867,6 +869,7 @@ def soak(seconds: int = 30, capacity: int = 1024, consumers: int = 8,
         "settle_seconds": settle,
         "capacity": capacity,
         "pfb_precision": pfb,
+        "fir_precision": fir,
         "engine": fe["engine"],
         "blocks": blocks,
         "blocks_expected": round(expected, 1),
@@ -1031,6 +1034,7 @@ if __name__ == "__main__":
             int(sys.argv[4]) if len(sys.argv) > 4 else 8,
             sys.argv[5] if len(sys.argv) > 5 else "highest",
             sys.argv[6] if len(sys.argv) > 6 else "tone",
+            sys.argv[7] if len(sys.argv) > 7 else "highest",
         ))
     elif len(sys.argv) > 1 and sys.argv[1] == "--recovery":
         sys.exit(recovery(
